@@ -1,0 +1,187 @@
+"""SDF generation golden tests.
+
+Ports the oracle fixtures from /root/reference/test/sdf_generation_test.cpp:
+degenerate fully-filled/empty grids, center/corner/face obstacles with
+hand-computed extrema (tolerance 1e-4, sdf_generation_test.cpp:22), and the
+exact Linear/Planar/Cube fixtures (:587-1056). A brute-force O(n^2) numpy EDT
+provides an independent full-field oracle.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxelized_geometry_tools_tpu import GridSpec
+from voxelized_geometry_tools_tpu.ops import edt
+
+TOL = 1e-4
+
+
+def brute_force_sdf(filled: np.ndarray, resolution: float) -> np.ndarray:
+    """O(V^2) reference: distance to nearest filled minus nearest free."""
+    shape = filled.shape
+    coords = np.stack(np.meshgrid(*[np.arange(s) for s in shape],
+                                  indexing="ij"), axis=-1).reshape(-1, 3)
+    filled_pts = coords[filled.reshape(-1)]
+    free_pts = coords[~filled.reshape(-1)]
+
+    def min_dist(points):
+        if len(points) == 0:
+            return np.full(coords.shape[0], np.inf)
+        d2 = ((coords[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+        return np.sqrt(d2.min(axis=1))
+
+    sdf = (min_dist(filled_pts) - min_dist(free_pts)) * resolution
+    return sdf.reshape(shape)
+
+
+def make_test_grid():
+    # 1.0 x 2.0 x 3.0 m at 0.25 m -> 4 x 8 x 12 voxels
+    # (sdf_generation_test.cpp:267-272).
+    return GridSpec.from_grid_sizes(0.25, (1.0, 2.0, 3.0))
+
+
+def test_grid_sizes_from_physical():
+    spec = make_test_grid()
+    assert spec.counts == (4, 8, 12)
+
+
+def test_fully_filled():
+    spec = make_test_grid()
+    filled = np.ones(spec.counts, dtype=bool)
+    sdf = edt.signed_distance_from_filled_mask(filled, spec.resolution)
+    assert np.all(np.asarray(sdf) == -np.inf)
+
+
+def test_fully_empty():
+    spec = make_test_grid()
+    filled = np.zeros(spec.counts, dtype=bool)
+    sdf = edt.signed_distance_from_filled_mask(filled, spec.resolution)
+    assert np.all(np.asarray(sdf) == np.inf)
+
+
+def test_center_obstacle():
+    # sdf_generation_test.cpp:370-443.
+    spec = make_test_grid()
+    filled = np.zeros(spec.counts, dtype=bool)
+    filled[1:3, 2:6, 3:9] = True
+    sdf = np.asarray(
+        edt.signed_distance_from_filled_mask(filled, spec.resolution))
+    res = spec.resolution
+    expected_max = np.sqrt(res ** 2 + (2 * res) ** 2 + (3 * res) ** 2)
+    assert abs(sdf.min() - (-0.25)) < TOL
+    assert abs(sdf.max() - expected_max) < TOL
+    # Sign consistency (cpp:231-256).
+    assert np.all(sdf[filled] < 0)
+    assert np.all(sdf[~filled] > 0)
+    # Full-field agreement with brute force.
+    np.testing.assert_allclose(sdf, brute_force_sdf(filled, res), atol=TOL)
+
+
+def test_corner_obstacle():
+    # sdf_generation_test.cpp:445-513.
+    spec = make_test_grid()
+    filled = np.zeros(spec.counts, dtype=bool)
+    filled[0:2, 0:4, 0:6] = True
+    sdf = np.asarray(
+        edt.signed_distance_from_filled_mask(filled, spec.resolution))
+    assert abs(sdf.min() - (-0.5)) < TOL
+    assert abs(sdf.max() - 1.8708) < 1e-3
+    np.testing.assert_allclose(sdf, brute_force_sdf(filled, spec.resolution),
+                               atol=TOL)
+
+
+def test_face_obstacle():
+    # sdf_generation_test.cpp:515-585.
+    spec = make_test_grid()
+    filled = np.zeros(spec.counts, dtype=bool)
+    filled[:, :, 0] = True
+    sdf = np.asarray(
+        edt.signed_distance_from_filled_mask(filled, spec.resolution))
+    assert abs(sdf.min() - (-0.25)) < TOL
+    assert abs(sdf.max() - 2.75) < TOL
+
+
+def test_linear_exact():
+    # 1x1x4 grid, cells 0-1 filled -> [-2, -1, 1, 2]
+    # (sdf_generation_test.cpp:587-702).
+    filled = np.zeros((1, 1, 4), dtype=bool)
+    filled[0, 0, 0:2] = True
+    sdf = np.asarray(edt.signed_distance_from_filled_mask(filled, 1.0))
+    np.testing.assert_allclose(sdf[0, 0], [-2.0, -1.0, 1.0, 2.0], rtol=1e-6)
+
+
+def test_planar_exact():
+    # 1x4x4 grid, y,z in [0,2) filled (sdf_generation_test.cpp:704-903).
+    filled = np.zeros((1, 4, 4), dtype=bool)
+    filled[0, 0:2, 0:2] = True
+    sdf = np.asarray(edt.signed_distance_from_filled_mask(filled, 1.0))
+    expected = np.array([
+        [-2.0, -1.0, 1.0, 2.0],
+        [-1.0, -1.0, 1.0, 2.0],
+        [1.0, 1.0, np.sqrt(2.0), np.sqrt(5.0)],
+        [2.0, 2.0, np.sqrt(5.0), np.sqrt(8.0)],
+    ])
+    np.testing.assert_allclose(sdf[0], expected, rtol=1e-6)
+
+
+def test_cube_exact():
+    # 2x2x2 grid, single corner voxel filled
+    # (sdf_generation_test.cpp:905-1056).
+    filled = np.zeros((2, 2, 2), dtype=bool)
+    filled[0, 0, 0] = True
+    sdf = np.asarray(edt.signed_distance_from_filled_mask(filled, 1.0))
+    expected = np.array([
+        [[-1.0, 1.0], [1.0, np.sqrt(2.0)]],
+        [[1.0, np.sqrt(2.0)], [np.sqrt(2.0), np.sqrt(3.0)]],
+    ])
+    np.testing.assert_allclose(sdf, expected, rtol=1e-6)
+
+
+def test_random_vs_brute_force():
+    rng = np.random.default_rng(7)
+    filled = rng.random((6, 7, 9)) < 0.3
+    filled[0, 0, 0] = True  # guarantee both classes exist
+    filled[5, 6, 8] = False
+    sdf = np.asarray(edt.signed_distance_from_filled_mask(filled, 0.5))
+    np.testing.assert_allclose(sdf, brute_force_sdf(filled, 0.5), atol=TOL)
+
+
+def test_block_size_invariance():
+    rng = np.random.default_rng(3)
+    filled = rng.random((5, 16, 33)) < 0.2
+    filled[2, 3, 4] = True
+    a = np.asarray(edt.signed_distance_from_filled_mask(filled, 1.0, block=8))
+    b = np.asarray(edt.signed_distance_from_filled_mask(filled, 1.0, block=64))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_virtual_border():
+    # With a virtual border, every outside-facing free cell sees the border as
+    # filled, so the max distance is bounded by distance to the walls.
+    filled = np.zeros((4, 4, 4), dtype=bool)
+    sdf = np.asarray(edt.signed_distance_with_virtual_border(filled, 1.0))
+    # Grid is empty -> all positive; center cells are 2 voxels from border.
+    assert sdf.max() <= 2.0 + TOL
+    assert np.all(sdf > 0)
+    # A fully filled grid with virtual border: interior negative.
+    sdf2 = np.asarray(
+        edt.signed_distance_with_virtual_border(np.ones((4, 4, 4), bool), 1.0))
+    assert np.all(sdf2 <= 0)
+
+
+def test_extract_sdf_from_occupancy_unknown_handling():
+    spec = GridSpec.from_voxel_counts(1.0, (1, 1, 4))
+    occ = np.array([1.0, 0.5, 0.0, 0.0], np.float32).reshape(1, 1, 4)
+    sdf_u_filled = edt.extract_sdf_from_occupancy(
+        occ, spec, None, unknown_is_filled=True)
+    sdf_u_free = edt.extract_sdf_from_occupancy(
+        occ, spec, None, unknown_is_filled=False)
+    d1 = np.asarray(sdf_u_filled.distances)[0, 0]
+    d2 = np.asarray(sdf_u_free.distances)[0, 0]
+    np.testing.assert_allclose(d1, [-2.0, -1.0, 1.0, 2.0], rtol=1e-6)
+    np.testing.assert_allclose(d2, [-1.0, 1.0, 2.0, 3.0], rtol=1e-6)
+    # Locked min/max caching.
+    assert sdf_u_filled.locked
+    assert float(sdf_u_filled.minimum) == -2.0
+    assert float(sdf_u_filled.maximum) == 2.0

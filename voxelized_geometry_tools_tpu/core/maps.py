@@ -1,0 +1,272 @@
+"""Voxel map containers: the four occupancy cell layouts + the SDF container.
+
+TPU-native redesign of the reference's map classes:
+
+* ``OccupancyMap``                         (occupancy_map.hpp:65-217)
+* ``OccupancyComponentMap``                (occupancy_component_map.hpp:29-315)
+* ``TaggedObjectOccupancyMap``             (tagged_object_occupancy_map.hpp:29-413)
+* ``TaggedObjectOccupancyComponentMap``    (tagged_object_occupancy_component_map.hpp)
+* ``SignedDistanceField<ScalarType>``      (signed_distance_field.hpp:193-1232)
+
+Instead of a C++ class hierarchy with per-cell atomics, each map is a frozen
+dataclass registered as a JAX pytree: *struct-of-arrays* channels of shape
+``[nx, ny, nz]`` plus a ``[4, 4]`` origin transform leaf, with the static
+:class:`~.grid.GridSpec` and frame string as pytree metadata. All mutation is
+functional (``dataclasses.replace``) and every channel op jits; lock-free
+atomic cells are unnecessary because parallel writes become scatter-adds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import transforms
+from .grid import GridSpec
+
+Array = jnp.ndarray
+
+# Occupancy value conventions shared with the reference: 0.0 = free,
+# 0.5 = unknown, 1.0 = filled (README.md:1-2; occupancy_map.cpp:231-242).
+FREE = 0.0
+UNKNOWN = 0.5
+FILLED = 1.0
+
+
+def _register(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields))
+    return cls
+
+
+def _default_transform(origin_transform) -> Array:
+    if origin_transform is None:
+        return jnp.eye(4, dtype=jnp.float32)
+    return jnp.asarray(origin_transform, dtype=jnp.float32)
+
+
+def _full(spec: GridSpec, value, dtype) -> Array:
+    return jnp.full(spec.counts, value, dtype=dtype)
+
+
+class _MapBase:
+    """Shared geometry helpers for all map dataclasses."""
+
+    spec: GridSpec
+    origin_transform: Array
+
+    @property
+    def resolution(self) -> float:
+        return self.spec.resolution
+
+    @property
+    def counts(self):
+        return self.spec.counts
+
+    @property
+    def num_total_voxels(self) -> int:
+        return self.spec.num_total
+
+    def inverse_origin_transform(self) -> Array:
+        return transforms.invert_isometry(self.origin_transform)
+
+    def location_to_grid_index(self, p_world) -> Array:
+        p_grid = transforms.apply_isometry(
+            self.inverse_origin_transform(), jnp.asarray(p_world)[..., :3])
+        return self.spec.location_in_grid_frame_to_grid_index(p_grid)
+
+    def grid_index_to_location(self, index) -> Array:
+        return transforms.apply_isometry(
+            self.origin_transform,
+            self.spec.grid_index_to_location_in_grid_frame(index))
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyMap(_MapBase):
+    """Dense float occupancy grid (occupancy_map.hpp:65-217)."""
+
+    origin_transform: Array
+    occupancy: Array  # f32 [nx, ny, nz]
+    spec: GridSpec = dataclasses.field(metadata=dict(static=True))
+    frame: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    @staticmethod
+    def create(spec: GridSpec, origin_transform=None, frame: str = "",
+               default_occupancy: float = FREE) -> "OccupancyMap":
+        return OccupancyMap(
+            origin_transform=_default_transform(origin_transform),
+            occupancy=_full(spec, default_occupancy, jnp.float32),
+            spec=spec, frame=frame)
+
+
+OccupancyMap = _register(
+    OccupancyMap, ["origin_transform", "occupancy"], ["spec", "frame"])
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyComponentMap(_MapBase):
+    """Occupancy + cached per-voxel connected-component labels
+    (occupancy_component_map.hpp:29-315). ``components_valid`` mirrors the
+    reference's cache invalidation: any functional update to ``occupancy``
+    should go through :meth:`set_occupancy` which clears the flag."""
+
+    origin_transform: Array
+    occupancy: Array  # f32 [nx, ny, nz]
+    component: Array  # u32 [nx, ny, nz]
+    number_of_components: Array  # u32 scalar
+    spec: GridSpec = dataclasses.field(metadata=dict(static=True))
+    frame: str = dataclasses.field(default="", metadata=dict(static=True))
+    components_valid: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+    @staticmethod
+    def create(spec: GridSpec, origin_transform=None, frame: str = "",
+               default_occupancy: float = FREE) -> "OccupancyComponentMap":
+        return OccupancyComponentMap(
+            origin_transform=_default_transform(origin_transform),
+            occupancy=_full(spec, default_occupancy, jnp.float32),
+            component=_full(spec, 0, jnp.uint32),
+            number_of_components=jnp.uint32(0),
+            spec=spec, frame=frame, components_valid=False)
+
+    def set_occupancy(self, occupancy: Array) -> "OccupancyComponentMap":
+        return self.replace(occupancy=occupancy, components_valid=False)
+
+
+OccupancyComponentMap = _register(
+    OccupancyComponentMap,
+    ["origin_transform", "occupancy", "component", "number_of_components"],
+    ["spec", "frame", "components_valid"])
+
+
+@dataclasses.dataclass(frozen=True)
+class TaggedObjectOccupancyMap(_MapBase):
+    """Occupancy + semantic object id (tagged_object_occupancy_map.hpp)."""
+
+    origin_transform: Array
+    occupancy: Array  # f32 [nx, ny, nz]
+    object_id: Array  # u32 [nx, ny, nz]
+    spec: GridSpec = dataclasses.field(metadata=dict(static=True))
+    frame: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    @staticmethod
+    def create(spec: GridSpec, origin_transform=None, frame: str = "",
+               default_occupancy: float = FREE,
+               default_object_id: int = 0) -> "TaggedObjectOccupancyMap":
+        return TaggedObjectOccupancyMap(
+            origin_transform=_default_transform(origin_transform),
+            occupancy=_full(spec, default_occupancy, jnp.float32),
+            object_id=_full(spec, default_object_id, jnp.uint32),
+            spec=spec, frame=frame)
+
+
+TaggedObjectOccupancyMap = _register(
+    TaggedObjectOccupancyMap,
+    ["origin_transform", "occupancy", "object_id"], ["spec", "frame"])
+
+
+@dataclasses.dataclass(frozen=True)
+class TaggedObjectOccupancyComponentMap(_MapBase):
+    """Richest cell layout: occupancy + object id + component + spatial
+    segment (tagged_object_occupancy_component_map.hpp:80-577)."""
+
+    origin_transform: Array
+    occupancy: Array  # f32 [nx, ny, nz]
+    object_id: Array  # u32 [nx, ny, nz]
+    component: Array  # u32 [nx, ny, nz]
+    spatial_segment: Array  # u32 [nx, ny, nz]
+    number_of_components: Array  # u32 scalar
+    number_of_spatial_segments: Array  # u32 scalar
+    spec: GridSpec = dataclasses.field(metadata=dict(static=True))
+    frame: str = dataclasses.field(default="", metadata=dict(static=True))
+    components_valid: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    spatial_segments_valid: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+    @staticmethod
+    def create(spec: GridSpec, origin_transform=None, frame: str = "",
+               default_occupancy: float = FREE, default_object_id: int = 0
+               ) -> "TaggedObjectOccupancyComponentMap":
+        return TaggedObjectOccupancyComponentMap(
+            origin_transform=_default_transform(origin_transform),
+            occupancy=_full(spec, default_occupancy, jnp.float32),
+            object_id=_full(spec, default_object_id, jnp.uint32),
+            component=_full(spec, 0, jnp.uint32),
+            spatial_segment=_full(spec, 0, jnp.uint32),
+            number_of_components=jnp.uint32(0),
+            number_of_spatial_segments=jnp.uint32(0),
+            spec=spec, frame=frame,
+            components_valid=False, spatial_segments_valid=False)
+
+    def set_occupancy(self, occupancy: Array
+                      ) -> "TaggedObjectOccupancyComponentMap":
+        return self.replace(occupancy=occupancy, components_valid=False,
+                            spatial_segments_valid=False)
+
+
+TaggedObjectOccupancyComponentMap = _register(
+    TaggedObjectOccupancyComponentMap,
+    ["origin_transform", "occupancy", "object_id", "component",
+     "spatial_segment", "number_of_components", "number_of_spatial_segments"],
+    ["spec", "frame", "components_valid", "spatial_segments_valid"])
+
+
+@dataclasses.dataclass(frozen=True)
+class SignedDistanceField(_MapBase):
+    """Dense signed-distance grid with locked min/max cache
+    (signed_distance_field.hpp:193-1232). ``oob_value`` is the value returned
+    for out-of-bounds queries (SignedDistanceFieldGenerationParameters
+    default: +inf, signed_distance_field.hpp:1244-1245)."""
+
+    origin_transform: Array
+    distances: Array  # f32 [nx, ny, nz]
+    minimum: Array  # f32 scalar (valid when locked)
+    maximum: Array  # f32 scalar (valid when locked)
+    spec: GridSpec = dataclasses.field(metadata=dict(static=True))
+    frame: str = dataclasses.field(default="", metadata=dict(static=True))
+    locked: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    oob_value: float = dataclasses.field(
+        default=float("inf"), metadata=dict(static=True))
+
+    @staticmethod
+    def create(spec: GridSpec, distances: Array, origin_transform=None,
+               frame: str = "", oob_value: float = float("inf"),
+               locked: bool = False) -> "SignedDistanceField":
+        sdf = SignedDistanceField(
+            origin_transform=_default_transform(origin_transform),
+            distances=jnp.asarray(distances, dtype=jnp.float32),
+            minimum=jnp.float32(0), maximum=jnp.float32(0),
+            spec=spec, frame=frame, locked=False, oob_value=float(oob_value))
+        return sdf.lock() if locked else sdf
+
+    def lock(self) -> "SignedDistanceField":
+        """Cache min/max and freeze (signed_distance_field.hpp:783-787)."""
+        return self.replace(minimum=jnp.min(self.distances),
+                            maximum=jnp.max(self.distances), locked=True)
+
+    def unlock(self) -> "SignedDistanceField":
+        return self.replace(locked=False)
+
+    def get_minimum_maximum(self):
+        if self.locked:
+            return self.minimum, self.maximum
+        return jnp.min(self.distances), jnp.max(self.distances)
+
+    def get_index(self, index) -> Array:
+        """Distance at integer index [..., 3] with OOB semantics."""
+        from .grid import get_index_values
+        return get_index_values(self.distances, index, self.oob_value)
+
+
+SignedDistanceField = _register(
+    SignedDistanceField,
+    ["origin_transform", "distances", "minimum", "maximum"],
+    ["spec", "frame", "locked", "oob_value"])

@@ -1,0 +1,108 @@
+"""Rigid-body (isometry) transform utilities.
+
+The reference library uses Eigen::Isometry3d throughout (e.g.
+/root/reference/include/voxelized_geometry_tools/occupancy_map.hpp:121,
+/root/reference/src/voxelized_geometry_tools/cpu_pointcloud_voxelization.cpp:171-178).
+Here an isometry is a plain ``[4, 4]`` row-major matrix (jnp or np array) so it
+is a JAX pytree leaf and transform composition is a matmul that XLA can fuse.
+
+All helpers are dtype-preserving and jit/vmap friendly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def identity_isometry(dtype=jnp.float32) -> Array:
+    return jnp.eye(4, dtype=dtype)
+
+
+def isometry_from_translation(translation, dtype=jnp.float32) -> Array:
+    """Isometry that is a pure translation."""
+    t = jnp.asarray(translation, dtype=dtype)
+    m = jnp.eye(4, dtype=dtype)
+    return m.at[:3, 3].set(t)
+
+
+def isometry_from_rotation_translation(rotation, translation,
+                                       dtype=jnp.float32) -> Array:
+    r = jnp.asarray(rotation, dtype=dtype)
+    t = jnp.asarray(translation, dtype=dtype)
+    m = jnp.eye(4, dtype=dtype)
+    m = m.at[:3, :3].set(r)
+    return m.at[:3, 3].set(t)
+
+
+def quaternion_to_rotation_matrix(quaternion) -> Array:
+    """Rotation matrix from quaternion ``(w, x, y, z)`` (Eigen order)."""
+    q = jnp.asarray(quaternion)
+    q = q / jnp.linalg.norm(q)
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)]),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)]),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)]),
+    ])
+
+
+def isometry_from_quaternion_translation(quaternion, translation,
+                                         dtype=jnp.float32) -> Array:
+    rot = quaternion_to_rotation_matrix(jnp.asarray(quaternion, dtype=dtype))
+    return isometry_from_rotation_translation(rot, translation, dtype=dtype)
+
+
+def isometry_from_axis_angle(axis, angle, dtype=jnp.float32) -> Array:
+    """Rotation-only isometry from an axis-angle (Rodrigues)."""
+    axis = jnp.asarray(axis, dtype=dtype)
+    axis = axis / jnp.linalg.norm(axis)
+    a = jnp.asarray(angle, dtype=dtype)
+    kx, ky, kz = axis[0], axis[1], axis[2]
+    zero = jnp.zeros((), dtype=dtype)
+    k = jnp.stack([
+        jnp.stack([zero, -kz, ky]),
+        jnp.stack([kz, zero, -kx]),
+        jnp.stack([-ky, kx, zero]),
+    ])
+    rot = (jnp.eye(3, dtype=dtype) + jnp.sin(a) * k
+           + (1.0 - jnp.cos(a)) * (k @ k))
+    return isometry_from_rotation_translation(rot, jnp.zeros(3, dtype=dtype),
+                                              dtype=dtype)
+
+
+def invert_isometry(m: Array) -> Array:
+    """Exact inverse of an isometry: ``[R^T, -R^T t]``."""
+    r = m[:3, :3]
+    t = m[:3, 3]
+    rt = r.T
+    inv = jnp.eye(4, dtype=m.dtype)
+    inv = inv.at[:3, :3].set(rt)
+    return inv.at[:3, 3].set(-rt @ t)
+
+
+def compose(a: Array, b: Array) -> Array:
+    return a @ b
+
+
+def apply_isometry(m: Array, points) -> Array:
+    """Apply an isometry to point(s) of shape ``[..., 3]``."""
+    p = jnp.asarray(points)
+    return p @ m[:3, :3].T + m[:3, 3]
+
+
+def rotate_vector(m: Array, vectors) -> Array:
+    """Apply only the rotation part to vector(s) of shape ``[..., 3]``."""
+    v = jnp.asarray(vectors)
+    return v @ m[:3, :3].T
+
+
+def np_isometry_from_translation(translation, dtype=np.float32) -> np.ndarray:
+    m = np.eye(4, dtype=dtype)
+    m[:3, 3] = np.asarray(translation, dtype=dtype)
+    return m

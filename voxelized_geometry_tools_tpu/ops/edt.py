@@ -1,0 +1,232 @@
+"""Exact 3-D Euclidean distance transform + signed-distance-field generation.
+
+TPU-native redesign of the reference's Felzenszwalb–Huttenlocher EDT pipeline
+(/root/reference/src/voxelized_geometry_tools/signed_distance_field_generation.cpp:85-391
+and .../include/.../signed_distance_field_generation.hpp:40-285).
+
+The reference runs a *sequential* 1-D lower-envelope scan per grid line and
+parallelizes across lines with OpenMP. That control flow is hostile to the
+TPU's vector units, so the math is reformulated:
+
+* **Pass 1** (seed field is binary ``{0, +inf}``): the 1-D transform reduces to
+  squared distance-to-nearest-seed, computed exactly with two ``cummax``
+  prefix scans — O(n), fully vectorized over all grid lines at once.
+* **Passes 2 and 3** (general ``f``): ``d[q] = min_k (q-k)^2 + f[k]`` is
+  evaluated as a blocked min-plus reduction over ``k`` tiles. O(n^2) work per
+  line, but every op is a full-grid VPU op, so the machine runs at vector
+  throughput instead of chasing the sequential envelope pointer. (A Pallas
+  in-VMEM variant lives in :mod:`..kernels.edt_pallas`.)
+
+Both formulations are *exact*: all intermediate values are squared integer
+distances, exactly representable in f32 up to 2^24 (grids beyond ~2300^3
+per-axis would need f64/i32 — far past any practical dense grid).
+
+Results match the reference to full float precision on its golden fixtures
+(sdf_generation_test.cpp: Linear/Planar/Cube exact tests, degenerate
+full/empty grids, center/corner/face obstacles).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.grid import GridSpec
+from ..core.maps import SignedDistanceField
+
+Array = jnp.ndarray
+
+_INF = jnp.inf
+
+
+def _binary_squared_dist_last(seed: Array) -> Array:
+    """Squared distance (in voxels) to the nearest True along the last axis.
+
+    Exact equivalent of the first F-H pass when the input field is the seeded
+    ``{0, +inf}`` indicator (signed_distance_field_generation.hpp:57-74).
+    Lines with no seed return ``+inf``.
+    """
+    n = seed.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def one_sided(s):
+        marked = jnp.where(s, idx, jnp.int32(-1))
+        last = lax.cummax(marked, axis=s.ndim - 1)
+        delta = (idx - last).astype(jnp.float32)
+        return jnp.where(last >= 0, delta * delta, _INF)
+
+    d_left = one_sided(seed)
+    d_right = jnp.flip(one_sided(jnp.flip(seed, axis=-1)), axis=-1)
+    return jnp.minimum(d_left, d_right)
+
+
+def _parabolic_envelope_last(f: Array, block: int = 32) -> Array:
+    """Exact 1-D squared-distance transform along the last axis.
+
+    Computes ``d[q] = min_k (q-k)^2 + f[k]`` (Felzenszwalb & Huttenlocher
+    2012, as in signed_distance_field_generation.cpp:124-226) as a blocked
+    min-plus reduction. ``k`` is processed in tiles of ``block`` so each scan
+    step is a large fused VPU op over the whole grid.
+    """
+    n = f.shape[-1]
+    q = jnp.arange(n, dtype=jnp.float32)
+
+    pad = (-n) % block
+    f_padded = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(0, pad)],
+                       constant_values=_INF)
+    num_blocks = (n + pad) // block
+    # [num_blocks, block] k values.
+    k_blocks = (jnp.arange(num_blocks, dtype=jnp.float32)[:, None] * block
+                + jnp.arange(block, dtype=jnp.float32)[None, :])
+
+    def body(d, blk):
+        k_vals, start = blk
+        fk = lax.dynamic_slice_in_dim(f_padded, start, block, axis=-1)
+        # cand[..., q, kb] = (q - k)^2 + f[k]
+        delta = q[:, None] - k_vals[None, :]
+        cand = delta * delta + fk[..., None, :]
+        return jnp.minimum(d, jnp.min(cand, axis=-1)), None
+
+    d0 = jnp.full(f.shape, _INF, dtype=jnp.float32)
+    starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
+    d, _ = lax.scan(body, d0, (k_blocks, starts))
+    return d
+
+
+def squared_edt(seed: Array, block: int = 32) -> Array:
+    """Exact squared Euclidean distance (voxel units) to nearest True voxel.
+
+    Equivalent of seeding ``{0, +inf}`` and running
+    ``ComputeDistanceFieldTransformInPlace`` along X, Y, Z
+    (signed_distance_field_generation.cpp:258-391). Separable-exactness makes
+    the axis order irrelevant. Returns ``+inf`` everywhere if no seed is set.
+    """
+    seed = jnp.asarray(seed, dtype=bool)
+    # Axis 0 (binary fast path).
+    d = jnp.moveaxis(_binary_squared_dist_last(jnp.moveaxis(seed, 0, -1)),
+                     -1, 0)
+    # Axis 1.
+    if seed.shape[1] > 1:
+        d = jnp.moveaxis(
+            _parabolic_envelope_last(jnp.moveaxis(d, 1, -1), block), -1, 1)
+    # Axis 2.
+    if seed.shape[2] > 1:
+        d = _parabolic_envelope_last(d, block)
+    return d
+
+
+def signed_distance_from_filled_mask(is_filled: Array, resolution: float,
+                                     block: int = 32) -> Array:
+    """Two-field signed combine: ``sqrt(d2_filled) - sqrt(d2_free)`` scaled by
+    resolution (signed_distance_field_generation.hpp:85-108). Negative inside
+    filled space, positive outside; ``+/-inf`` for fully empty/filled grids."""
+    is_filled = jnp.asarray(is_filled, dtype=bool)
+    d2_filled = squared_edt(is_filled, block)
+    d2_free = squared_edt(~is_filled, block)
+    res = jnp.float32(resolution)
+    return jnp.sqrt(d2_filled) * res - jnp.sqrt(d2_free) * res
+
+
+def _pad_axis_flags(counts: Tuple[int, int, int]):
+    """Virtual border is only added along axes with more than one voxel
+    (signed_distance_field_generation.hpp:136-147)."""
+    return tuple(1 if c > 1 else 0 for c in counts)
+
+
+def signed_distance_with_virtual_border(is_filled: Array, resolution: float,
+                                        block: int = 32) -> Array:
+    """``AddVirtualBorder`` variant (hpp:115-285): synthesize a 1-voxel border,
+    compute a "free" SDF (border filled) and a "filled" SDF (border free) on
+    the enlarged grid, crop, and merge."""
+    is_filled = jnp.asarray(is_filled, dtype=bool)
+    pads = _pad_axis_flags(is_filled.shape)
+    pad_cfg = [(p, p) for p in pads]
+
+    free_seeds = jnp.pad(is_filled, pad_cfg, constant_values=True)
+    filled_seeds = jnp.pad(is_filled, pad_cfg, constant_values=False)
+
+    free_sdf = signed_distance_from_filled_mask(free_seeds, resolution, block)
+    filled_sdf = signed_distance_from_filled_mask(filled_seeds, resolution,
+                                                  block)
+    crop = tuple(slice(p, s - p) for p, s in zip(pads, free_sdf.shape))
+    free_sdf = free_sdf[crop]
+    filled_sdf = filled_sdf[crop]
+
+    # Merge rule (hpp:265-276).
+    return jnp.where(free_sdf >= 0.0, free_sdf,
+                     jnp.where(filled_sdf <= -0.0, filled_sdf, 0.0))
+
+
+def filled_mask_from_occupancy(occupancy: Array,
+                               unknown_is_filled: bool = True) -> Array:
+    """``is_filled_fn`` for occupancy channels (occupancy_map.hpp:181-205):
+    filled iff occupancy > 0.5, or == 0.5 when unknown counts as filled."""
+    occ = jnp.asarray(occupancy)
+    filled = occ > 0.5
+    if unknown_is_filled:
+        filled = filled | (occ == 0.5)
+    return filled
+
+
+@functools.partial(jax.jit, static_argnames=("add_virtual_border", "block"))
+def _sdf_values_from_mask(is_filled: Array, resolution: float,
+                          add_virtual_border: bool = False,
+                          block: int = 32) -> Array:
+    if add_virtual_border:
+        return signed_distance_with_virtual_border(is_filled, resolution,
+                                                   block)
+    return signed_distance_from_filled_mask(is_filled, resolution, block)
+
+
+def extract_signed_distance_field(
+        is_filled: Array,
+        spec: GridSpec,
+        origin_transform,
+        frame: str = "",
+        oob_value: float = float("inf"),
+        add_virtual_border: bool = False,
+        block: int = 32) -> SignedDistanceField:
+    """Full SDF-generation entry point over a filled-voxel mask.
+
+    Functional analogue of
+    ``signed_distance_field_generation::internal::ExtractSignedDistanceField``
+    (hpp:40-285): computes the signed field and returns it *locked* with
+    cached min/max. ``unknown_is_filled`` handling lives in the per-map
+    wrappers via :func:`filled_mask_from_occupancy`.
+    """
+    values = _sdf_values_from_mask(
+        jnp.asarray(is_filled, dtype=bool), float(spec.resolution),
+        add_virtual_border=add_virtual_border, block=block)
+    return SignedDistanceField.create(
+        spec=spec, distances=values, origin_transform=origin_transform,
+        frame=frame, oob_value=oob_value, locked=True)
+
+
+def extract_sdf_from_occupancy(
+        occupancy: Array,
+        spec: GridSpec,
+        origin_transform,
+        frame: str = "",
+        oob_value: float = float("inf"),
+        unknown_is_filled: bool = True,
+        add_virtual_border: bool = False,
+        block: int = 32) -> SignedDistanceField:
+    """SDF from an occupancy channel (``OccupancyMap::ExtractSignedDistanceField``,
+    occupancy_map.hpp:174-210)."""
+    mask = filled_mask_from_occupancy(occupancy, unknown_is_filled)
+    return extract_signed_distance_field(
+        mask, spec, origin_transform, frame=frame, oob_value=oob_value,
+        add_virtual_border=add_virtual_border, block=block)
+
+
+def merge_free_and_named_object_sdfs(free_sdf: Array,
+                                     named_objects_sdf: Array) -> Array:
+    """Combine rule for ``ExtractFreeAndNamedObjectsSignedDistanceField``
+    (tagged_object_occupancy_component_map.hpp:510-537)."""
+    return jnp.where(free_sdf >= 0.0, free_sdf,
+                     jnp.where(named_objects_sdf <= -0.0, named_objects_sdf,
+                               0.0))
