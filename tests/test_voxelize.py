@@ -1,0 +1,213 @@
+"""Pointcloud voxelization tests.
+
+Ports the reference oracles:
+
+* the two-synthetic-camera fusion scene with exact expected occupancy per
+  region (/root/reference/test/pointcloud_voxelization_test.cpp:160-295),
+* the empty-clouds case (everything above the floor stays unknown), and
+* the DDA count-invariant property test over 1000 random rays
+  (/root/reference/test/voxel_raycasting_test.cpp).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxelized_geometry_tools_tpu import GridSpec, OccupancyMap
+from voxelized_geometry_tools_tpu.core import transforms
+from voxelized_geometry_tools_tpu.ops import voxelize
+
+
+def _rotz(angle):
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _rotx(angle):
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+
+
+def _iso(rotation=None, translation=(0.0, 0.0, 0.0)):
+    m = np.eye(4)
+    if rotation is not None:
+        m[:3, :3] = rotation
+    m[:3, 3] = translation
+    return m
+
+
+def make_scene():
+    """The pointcloud_voxelization_test scene (cpp:164-235)."""
+    X_WG = _iso(translation=(-1.0, -1.0, -1.0))
+    spec = GridSpec.from_grid_sizes(0.25, (2.0, 2.0, 2.0))
+    static_env = OccupancyMap.create(spec, X_WG.astype(np.float32), "world")
+    occ = np.asarray(static_env.occupancy).copy()
+    occ[:, :, 0] = 1.0  # bottom layer filled
+    static_env = static_env.replace(occupancy=jnp.asarray(occ))
+
+    # Physical -> optical frame rotation (cpp:192-194).
+    X_CO = _iso(rotation=_rotz(-np.pi / 2) @ _rotx(-np.pi / 2))
+
+    xs = np.arange(-2.0, 2.0 + 1e-9, 0.03125)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+
+    def make_cloud(X_WC, z_rule):
+        z = z_rule(gx)
+        pts = np.stack([gx.ravel(), gy.ravel(), z.ravel()], axis=-1)
+        return voxelize.PointCloud.create(
+            pts.astype(np.float32),
+            (X_WC @ X_CO).astype(np.float32))
+
+    cam1 = make_cloud(_iso(translation=(-2.0, 0.0, 0.0)),
+                      lambda x: np.where(x <= 0.0, 2.125, 4.0))
+    cam2 = make_cloud(_iso(rotation=_rotz(np.pi / 2),
+                           translation=(0.0, -2.0, 0.0)),
+                      lambda x: np.where(x >= 0.0, 2.125, 4.0))
+    cam3 = voxelize.PointCloud.create(
+        np.zeros((0, 3), np.float32), (_iso() @ X_CO).astype(np.float32))
+    return static_env, [cam1, cam2, cam3]
+
+
+def check_voxelization(occ: np.ndarray):
+    """check_voxelization (cpp:113-158)."""
+    nx, ny, nz = occ.shape
+    for x in range(nx):
+        for y in range(ny):
+            for z in range(nz):
+                v = occ[x, y, z]
+                if z == 0:
+                    assert v == 1.0, (x, y, z, v)
+                if x == 3 and y >= 3 and z >= 1:
+                    assert v == 0.0, (x, y, z, v)
+                if x >= 3 and y == 3 and z >= 1:
+                    assert v == 0.0, (x, y, z, v)
+                if x == 4 and y >= 4 and z >= 1:
+                    assert v == 1.0, (x, y, z, v)
+                if x >= 4 and y == 4 and z >= 1:
+                    assert v == 1.0, (x, y, z, v)
+                if x > 4 and y > 4 and z >= 1:
+                    assert v == 0.5, (x, y, z, v)
+
+
+def check_empty_voxelization(occ: np.ndarray):
+    """check_empty_voxelization (cpp:84-111)."""
+    assert np.all(occ[:, :, 0] == 1.0)
+    assert np.all(occ[:, :, 1:] == 0.5)
+
+
+def test_empty_voxelization():
+    static_env, _ = make_scene()
+    options = voxelize.FilterOptions(1.0, 1, 1)
+    result = voxelize.voxelize_pointclouds(static_env, options, [])
+    check_empty_voxelization(np.asarray(result.occupancy))
+
+
+def test_two_camera_voxelization():
+    static_env, clouds = make_scene()
+    options = voxelize.FilterOptions(1.0, 1, 1)
+    runtimes = []
+    result = voxelize.voxelize_pointclouds(
+        static_env, options, clouds, runtime_log_fn=runtimes.append)
+    check_voxelization(np.asarray(result.occupancy))
+    assert len(runtimes) == 1
+    assert runtimes[0].raycasting_time >= 0.0
+    assert runtimes[0].filtering_time >= 0.0
+
+
+def test_chunking_invariance():
+    static_env, clouds = make_scene()
+    spec = static_env.spec
+    a = voxelize.raycast_pointcloud(
+        spec, static_env.origin_transform, clouds[0], ray_chunk=1000)
+    b = voxelize.raycast_pointcloud(
+        spec, static_env.origin_transform, clouds[0], ray_chunk=16384)
+    np.testing.assert_array_equal(np.asarray(a.seen_free),
+                                  np.asarray(b.seen_free))
+    np.testing.assert_array_equal(np.asarray(a.seen_filled),
+                                  np.asarray(b.seen_filled))
+
+
+def test_filter_options_validation():
+    with pytest.raises(ValueError):
+        voxelize.FilterOptions(0.0, 1, 1).validate()
+    with pytest.raises(ValueError):
+        voxelize.FilterOptions(1.0, 0, 1).validate()
+    with pytest.raises(ValueError):
+        voxelize.FilterOptions(1.0, 1, 0).validate()
+
+
+def test_counts_seen_as_rule():
+    opts = voxelize.FilterOptions(0.5, 2, 1)
+    free = jnp.array([0, 3, 0, 1, 3])
+    filled = jnp.array([0, 0, 5, 1, 3])
+    seen = np.asarray(voxelize.counts_seen_as(opts, free, filled))
+    # filled=1 < outlier threshold 2 -> treated as 0.
+    assert list(seen) == [int(voxelize.SeenAs.UNKNOWN),
+                          int(voxelize.SeenAs.FREE),
+                          int(voxelize.SeenAs.FILLED),
+                          int(voxelize.SeenAs.FREE),
+                          int(voxelize.SeenAs.FREE)]  # 3/6 = 0.5 >= 0.5
+
+
+def test_raycast_count_invariants():
+    """voxel_raycasting_test.cpp: every voxel sees each ray at most once as
+    free, at most once as filled, and never both."""
+    spec = GridSpec.from_voxel_counts(0.125, (40, 40, 40))
+    origin_transform = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(42)
+
+    n_iters = 200
+    origins = rng.uniform(-2.0, 7.0, size=(n_iters, 3))
+    targets = rng.uniform(-2.0, 7.0, size=(n_iters, 3))
+
+    for origin, target in zip(origins[:40], targets[:40]):
+        grid = voxelize.raycast_single_point(
+            spec, origin_transform, origin, target, max_range=10.0)
+        free = np.asarray(grid.seen_free)
+        filled = np.asarray(grid.seen_filled)
+        assert free.min() >= 0 and free.max() <= 1
+        assert filled.min() >= 0 and filled.max() <= 1
+        assert not np.any((free > 0) & (filled > 0))
+
+
+def test_raycast_straight_line():
+    """A simple axis-aligned ray marks the expected cells."""
+    spec = GridSpec.from_voxel_counts(1.0, (8, 1, 1))
+    eye = np.eye(4, dtype=np.float32)
+    grid = voxelize.raycast_single_point(
+        spec, eye, (0.5, 0.5, 0.5), (6.5, 0.5, 0.5))
+    free = np.asarray(grid.seen_free)[:, 0, 0]
+    filled = np.asarray(grid.seen_filled)[:, 0, 0]
+    np.testing.assert_array_equal(free, [1, 1, 1, 1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(filled, [0, 0, 0, 0, 0, 0, 1, 0])
+
+
+def test_raycast_from_outside_grid():
+    """Rays starting outside the grid clip to the entry point."""
+    spec = GridSpec.from_voxel_counts(1.0, (4, 4, 4))
+    eye = np.eye(4, dtype=np.float32)
+    grid = voxelize.raycast_single_point(
+        spec, eye, (-3.5, 2.5, 2.5), (2.5, 2.5, 2.5))
+    free = np.asarray(grid.seen_free)
+    filled = np.asarray(grid.seen_filled)
+    np.testing.assert_array_equal(free[:, 2, 2], [1, 1, 0, 0])
+    np.testing.assert_array_equal(filled[:, 2, 2], [0, 0, 1, 0])
+    # A ray that misses entirely marks nothing.
+    grid2 = voxelize.raycast_single_point(
+        spec, eye, (-3.5, 10.0, 2.5), (2.5, 10.0, 2.5))
+    assert np.asarray(grid2.seen_free).sum() == 0
+    assert np.asarray(grid2.seen_filled).sum() == 0
+
+
+def test_max_range_clipping():
+    """Clipped rays mark their final voxel seen-free, not filled
+    (cpu_pointcloud_voxelization.cpp:371-375)."""
+    spec = GridSpec.from_voxel_counts(1.0, (8, 1, 1))
+    eye = np.eye(4, dtype=np.float32)
+    grid = voxelize.raycast_single_point(
+        spec, eye, (0.5, 0.5, 0.5), (6.5, 0.5, 0.5), max_range=3.0)
+    free = np.asarray(grid.seen_free)[:, 0, 0]
+    filled = np.asarray(grid.seen_filled)[:, 0, 0]
+    assert filled.sum() == 0
+    # Endpoint at 3.5 -> cell 3 marked free by the clip rule.
+    assert free[3] == 1

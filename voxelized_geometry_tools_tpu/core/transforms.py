@@ -90,16 +90,27 @@ def compose(a: Array, b: Array) -> Array:
     return a @ b
 
 
-def apply_isometry(m: Array, points) -> Array:
-    """Apply an isometry to point(s) of shape ``[..., 3]``."""
-    p = jnp.asarray(points)
-    return p @ m[:3, :3].T + m[:3, 3]
-
-
 def rotate_vector(m: Array, vectors) -> Array:
-    """Apply only the rotation part to vector(s) of shape ``[..., 3]``."""
+    """Apply only the rotation part to vector(s) of shape ``[..., 3]``.
+
+    Written elementwise rather than as a matmul: on TPU a ``[..., 3] @ [3, 3]``
+    contraction would be routed through the MXU at default (bfloat16) matmul
+    precision, silently quantizing coordinates. Elementwise VPU ops keep full
+    f32 precision and fuse into surrounding code.
+    """
     v = jnp.asarray(vectors)
-    return v @ m[:3, :3].T
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([
+        x * m[0, 0] + y * m[0, 1] + z * m[0, 2],
+        x * m[1, 0] + y * m[1, 1] + z * m[1, 2],
+        x * m[2, 0] + y * m[2, 1] + z * m[2, 2],
+    ], axis=-1)
+
+
+def apply_isometry(m: Array, points) -> Array:
+    """Apply an isometry to point(s) of shape ``[..., 3]`` (exact f32; see
+    :func:`rotate_vector` for why this avoids the MXU)."""
+    return rotate_vector(m, points) + m[:3, 3]
 
 
 def np_isometry_from_translation(translation, dtype=np.float32) -> np.ndarray:

@@ -1,0 +1,430 @@
+"""Differentiable SDF query operations.
+
+TPU-native redesign of the reference's ``SignedDistanceField`` query API
+(/root/reference/include/voxelized_geometry_tools/signed_distance_field.hpp):
+
+* trilinear distance estimation with corrected cell-center distances
+  (hpp:257-379, 808-848)
+* coarse / grid-aligned / fine gradients (hpp:850-1109)
+* project-out-of-collision gradient walks (hpp:1111-1203)
+* local-extrema (watershed) map (hpp:382-538, 1205-1231)
+
+Design changes for TPU:
+
+* every query is **batched**: point arguments accept ``[..., 3]`` arrays and
+  all branching is ``jnp.where``-based, so queries jit, vmap, and
+  differentiate (the reference's optional-returning scalar API becomes a
+  ``(values, valid)`` pair),
+* the reference's serial gradient-following watershed with path memoization
+  becomes a pointer-jumping fixed point over a "next cell" field — identical
+  terminals (flat cells, off-grid escapes); gradient 2-cycles resolve to the
+  lexicographically-first cycle member rather than the reference's
+  scan-order-dependent walk entry point (documented divergence; both choices
+  pick a member of the same <= 1-voxel-apart cycle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import transforms
+from ..core.maps import SignedDistanceField
+
+Array = jnp.ndarray
+
+
+class DistanceQuery(NamedTuple):
+    """Batched analogue of ``EstimateDistanceQuery`` (hpp:28-80)."""
+    value: Array
+    valid: Array
+
+
+class GradientQuery(NamedTuple):
+    """Batched analogue of ``GradientQuery`` (hpp:82-134)."""
+    gradient: Array  # [..., 3]
+    valid: Array
+
+
+class ProjectionResult(NamedTuple):
+    """Batched analogue of ``ProjectedPosition`` (hpp:136-158)."""
+    position: Array  # [..., 3]
+    valid: Array
+
+
+def _axis_interp_indices(initial: Array, axis_size: int,
+                         axis_offset: Array) -> Tuple[Array, Array]:
+    """Vectorized ``GetAxisInterpolationIndices`` (hpp:277-312)."""
+    i = initial
+    n = axis_size
+    # offset >= 0 branch: upper=i+1; if out of range, upper=i and
+    # lower=i-1 (or i if that underflows).
+    up_a = jnp.where(i + 1 >= n, i, i + 1)
+    lo_a = jnp.where(i + 1 >= n, jnp.where(i - 1 < 0, i, i - 1), i)
+    # offset < 0 branch: lower=i-1; if <0 -> lower=i, upper=i+1 (or i).
+    lo_b = jnp.where(i - 1 < 0, i, i - 1)
+    up_b = jnp.where(i - 1 < 0, jnp.where(i + 1 >= n, i, i + 1), i)
+    pos = axis_offset >= 0.0
+    lower = jnp.where(pos, lo_a, lo_b)
+    upper = jnp.where(pos, up_a, up_b)
+    return lower, upper
+
+
+def _corrected_center_distance(sdf: SignedDistanceField, idx: Array) -> Array:
+    """``GetCorrectedCenterDistance`` (hpp:257-275): pull the stored distance
+    half a cell toward the surface, since stored distances measure to cell
+    centers, not boundaries."""
+    d = sdf.get_index(idx)
+    offset = jnp.float32(sdf.resolution * 0.5)
+    return jnp.where(d >= 0.0, d - offset, d + offset)
+
+
+def estimate_distance_interpolate(sdf: SignedDistanceField, p_world: Array,
+                                  index: Array) -> Array:
+    """Trilinear estimate around a containing cell index
+    (``EstimateDistanceInterpolateFromNeighbors``, hpp:314-379).
+
+    ``p_world``: ``[..., 3]`` world locations; ``index``: ``[..., 3]``
+    containing cell. Differentiable in ``p_world`` and ``sdf.distances``.
+    """
+    res = jnp.float32(sdf.resolution)
+    p_grid = transforms.apply_isometry(sdf.inverse_origin_transform(),
+                                       jnp.asarray(p_world)[..., :3])
+    center = sdf.spec.grid_index_to_location_in_grid_frame(index)
+    offset = p_grid - center
+
+    lx, ux = _axis_interp_indices(index[..., 0], sdf.spec.num_x,
+                                  offset[..., 0])
+    ly, uy = _axis_interp_indices(index[..., 1], sdf.spec.num_y,
+                                  offset[..., 1])
+    lz, uz = _axis_interp_indices(index[..., 2], sdf.spec.num_z,
+                                  offset[..., 2])
+
+    lower_corner = sdf.spec.grid_index_to_location_in_grid_frame(
+        jnp.stack([lx, ly, lz], axis=-1))
+    # Interpolation ratios; upper corner = lower + resolution per axis
+    # (hpp:373-378). Not clamped: edge cells extrapolate like the reference.
+    t = (p_grid - lower_corner) / res
+
+    def corner(cx, cy, cz):
+        return _corrected_center_distance(
+            sdf, jnp.stack([cx, cy, cz], axis=-1))
+
+    v000 = corner(lx, ly, lz)
+    v001 = corner(lx, ly, uz)
+    v010 = corner(lx, uy, lz)
+    v011 = corner(lx, uy, uz)
+    v100 = corner(ux, ly, lz)
+    v101 = corner(ux, ly, uz)
+    v110 = corner(ux, uy, lz)
+    v111 = corner(ux, uy, uz)
+
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    c00 = v000 * (1 - tx) + v100 * tx
+    c01 = v001 * (1 - tx) + v101 * tx
+    c10 = v010 * (1 - tx) + v110 * tx
+    c11 = v011 * (1 - tx) + v111 * tx
+    c0 = c00 * (1 - ty) + c10 * ty
+    c1 = c01 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz
+
+
+def estimate_location_distance(sdf: SignedDistanceField,
+                               p_world: Array) -> DistanceQuery:
+    """``EstimateLocationDistance4d`` (hpp:820-835), batched over ``[..., 3]``.
+
+    Out-of-bounds queries return ``valid=False`` with value ``NaN``.
+    """
+    p = jnp.asarray(p_world)[..., :3]
+    index = sdf.location_to_grid_index(p)
+    # Non-finite points are invalid queries (NaN would cast to an arbitrary
+    # in-bounds index otherwise).
+    finite = jnp.all(jnp.isfinite(p), axis=-1)
+    valid = finite & sdf.spec.check_grid_index_in_bounds(index)
+    safe_index = jnp.clip(index, 0, jnp.asarray(sdf.spec.counts) - 1)
+    safe_p = jnp.where(finite[..., None], p, 0.0)
+    value = estimate_distance_interpolate(sdf, safe_p, safe_index)
+    return DistanceQuery(jnp.where(valid, value, jnp.nan), valid)
+
+
+def estimate_index_distance(sdf: SignedDistanceField,
+                            index: Array) -> DistanceQuery:
+    """``EstimateIndexDistance`` (hpp:837-848)."""
+    return estimate_location_distance(sdf,
+                                      sdf.grid_index_to_location(index))
+
+
+def get_grid_aligned_index_coarse_gradient(
+        sdf: SignedDistanceField, index: Array,
+        enable_edge_gradients: bool = False) -> GradientQuery:
+    """``GetGridAlignedIndexCoarseGradient`` (hpp:922-1025), batched."""
+    idx = jnp.asarray(index)
+    counts = jnp.asarray(sdf.spec.counts, dtype=idx.dtype)
+    in_bounds = jnp.all((idx >= 0) & (idx < counts), axis=-1)
+    interior = jnp.all((idx > 0) & (idx < counts - 1), axis=-1)
+
+    res = sdf.resolution
+
+    def value_at(offset):
+        return sdf.get_index(idx + jnp.asarray(offset, dtype=idx.dtype))
+
+    # Interior: symmetric central differences over +/- 1 cell (hpp:935-948).
+    inv2r = jnp.float32(1.0 / (2.0 * res))
+    g_interior = jnp.stack([
+        (value_at((1, 0, 0)) - value_at((-1, 0, 0))) * inv2r,
+        (value_at((0, 1, 0)) - value_at((0, -1, 0))) * inv2r,
+        (value_at((0, 0, 1)) - value_at((0, 0, -1))) * inv2r,
+    ], axis=-1)
+
+    if enable_edge_gradients:
+        # Edge path: clamp the window per axis (hpp:954-1012).
+        low = jnp.maximum(idx - 1, 0)
+        high = jnp.minimum(idx + 1, counts - 1)
+        incr = (high - low).astype(jnp.float32) * jnp.float32(res)
+
+        def axis_grad(axis):
+            lo_idx = idx.at[..., axis].set(low[..., axis])
+            hi_idx = idx.at[..., axis].set(high[..., axis])
+            delta = sdf.get_index(hi_idx) - sdf.get_index(lo_idx)
+            return jnp.where(incr[..., axis] > 0.0,
+                             delta / jnp.maximum(incr[..., axis], 1e-30), 0.0)
+
+        g_edge = jnp.stack([axis_grad(0), axis_grad(1), axis_grad(2)],
+                           axis=-1)
+        gradient = jnp.where(interior[..., None], g_interior, g_edge)
+        valid = in_bounds
+    else:
+        gradient = g_interior
+        valid = in_bounds & interior
+
+    gradient = jnp.where(valid[..., None], gradient, jnp.nan)
+    return GradientQuery(gradient, valid)
+
+
+def get_index_coarse_gradient(sdf: SignedDistanceField, index: Array,
+                              enable_edge_gradients: bool = False
+                              ) -> GradientQuery:
+    """``GetIndexCoarseGradient`` (hpp:903-920): grid-aligned gradient rotated
+    into the world frame by the origin rotation."""
+    aligned = get_grid_aligned_index_coarse_gradient(sdf, index,
+                                                     enable_edge_gradients)
+    world = transforms.rotate_vector(sdf.origin_transform, aligned.gradient)
+    return GradientQuery(world, aligned.valid)
+
+
+def get_location_coarse_gradient(sdf: SignedDistanceField, p_world: Array,
+                                 enable_edge_gradients: bool = False
+                                 ) -> GradientQuery:
+    """``GetLocationCoarseGradient4d`` (hpp:879-893)."""
+    p = jnp.asarray(p_world)[..., :3]
+    index = sdf.location_to_grid_index(jnp.where(
+        jnp.all(jnp.isfinite(p), axis=-1, keepdims=True), p, 0.0))
+    in_bounds = (jnp.all(jnp.isfinite(p), axis=-1)
+                 & sdf.spec.check_grid_index_in_bounds(index))
+    safe = jnp.clip(index, 0, jnp.asarray(sdf.spec.counts) - 1)
+    g = get_index_coarse_gradient(sdf, safe, enable_edge_gradients)
+    valid = in_bounds & g.valid
+    return GradientQuery(jnp.where(valid[..., None], g.gradient, jnp.nan),
+                         valid)
+
+
+def get_location_fine_gradient(sdf: SignedDistanceField, p_world: Array,
+                               nominal_window_size: float) -> GradientQuery:
+    """``GetLocationFineGradient`` (hpp:1051-1092): windowed differencing of
+    trilinear estimates with one-sided fallbacks near the boundary."""
+    p = jnp.asarray(p_world)[..., :3]
+    w = jnp.float32(abs(float(nominal_window_size)))
+    in_bounds = sdf.spec.check_grid_index_in_bounds(
+        sdf.location_to_grid_index(p))
+
+    center = estimate_location_distance(sdf, p)
+
+    def axis_fine(axis):
+        minus = p.at[..., axis].add(-w)
+        plus = p.at[..., axis].add(w)
+        dm = estimate_location_distance(sdf, minus)
+        dp = estimate_location_distance(sdf, plus)
+        both = center.valid & dm.valid & dp.valid
+        only_minus = center.valid & dm.valid & ~dp.valid
+        only_plus = center.valid & dp.valid & ~dm.valid
+        g_both = (dp.value - dm.value) / (2.0 * w)
+        g_minus = (center.value - dm.value) / w
+        g_plus = (dp.value - center.value) / w
+        g = jnp.where(both, g_both,
+                      jnp.where(only_minus, g_minus,
+                                jnp.where(only_plus, g_plus, jnp.nan)))
+        return g, both | only_minus | only_plus
+
+    gx, vx = axis_fine(0)
+    gy, vy = axis_fine(1)
+    gz, vz = axis_fine(2)
+    valid = in_bounds & vx & vy & vz
+    gradient = jnp.where(valid[..., None], jnp.stack([gx, gy, gz], axis=-1),
+                         jnp.nan)
+    return GradientQuery(gradient, valid)
+
+
+def project_out_of_collision(sdf: SignedDistanceField, p_world: Array,
+                             stepsize_multiplier: float = 0.1,
+                             max_steps: int = 1000) -> ProjectionResult:
+    """``ProjectLocationOutOfCollision4d`` (hpp:1129-1135)."""
+    return project_out_of_collision_to_minimum_distance(
+        sdf, p_world, 0.0, stepsize_multiplier, max_steps)
+
+
+def project_out_of_collision_to_minimum_distance(
+        sdf: SignedDistanceField, p_world: Array, minimum_distance: float,
+        stepsize_multiplier: float = 0.1,
+        max_steps: int = 1000) -> ProjectionResult:
+    """``ProjectLocationOutOfCollisionToMinimumDistance4d`` (hpp:1155-1203).
+
+    Batched gradient walk under ``lax.while_loop``. ``max_steps`` bounds the
+    loop (the reference can iterate unboundedly); walks that fail to make
+    progress (tiny gradient / off-grid) return ``valid=False``. Points that
+    start out of bounds are returned unchanged with ``valid=True``, matching
+    the reference's early-exit.
+    """
+    p0 = jnp.asarray(p_world)[..., :3]
+    batch_shape = p0.shape[:-1]
+    res = float(sdf.resolution)
+    min_dist = jnp.float32(minimum_distance)
+    margin = jnp.float32(minimum_distance + res * stepsize_multiplier * 1e-3)
+    max_step = jnp.float32(res * stepsize_multiplier)
+    grad_floor = jnp.float32(res * 0.25)
+
+    start_in_bounds = sdf.spec.check_grid_index_in_bounds(
+        sdf.location_to_grid_index(p0))
+    d0 = estimate_location_distance(sdf, p0).value
+    # active: still walking. failed: gradient invalid/unproductive.
+    state0 = dict(
+        p=p0,
+        d=jnp.where(start_in_bounds, d0, jnp.inf),
+        active=start_in_bounds & (d0 <= min_dist),
+        failed=jnp.zeros(batch_shape, dtype=bool),
+        steps=jnp.zeros((), dtype=jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["steps"] < max_steps)
+
+    def body(s):
+        g = get_location_coarse_gradient(sdf, s["p"],
+                                         enable_edge_gradients=True)
+        gnorm = jnp.linalg.norm(jnp.where(g.valid[..., None], g.gradient,
+                                          0.0), axis=-1)
+        productive = g.valid & (gnorm > grad_floor)
+        step = jnp.minimum(max_step, margin - s["d"])
+        direction = jnp.where(g.valid[..., None], g.gradient, 0.0) / (
+            jnp.maximum(gnorm, 1e-30)[..., None])
+        p_new = jnp.where((s["active"] & productive)[..., None],
+                          s["p"] + direction * step[..., None], s["p"])
+        d_new = jnp.where(s["active"] & productive,
+                          estimate_location_distance(sdf, p_new).value,
+                          s["d"])
+        failed = s["failed"] | (s["active"] & ~productive)
+        active = s["active"] & productive & (d_new <= min_dist)
+        return dict(p=p_new, d=d_new, active=active, failed=failed,
+                    steps=s["steps"] + 1)
+
+    final = lax.while_loop(cond, body, state0)
+    failed = final["failed"] | final["active"]  # ran out of steps
+    return ProjectionResult(final["p"], ~failed)
+
+
+# -- Local extrema (watershed) map -----------------------------------------
+
+
+def _gradient_is_effectively_flat(gradient: Array, resolution: float) -> Array:
+    """``GradientIsEffectiveFlat`` (hpp:482-497): all |components| within
+    0.06125 * resolution."""
+    thresh = jnp.float32(resolution * 0.06125)
+    return jnp.all(jnp.abs(gradient) <= thresh, axis=-1)
+
+
+def _next_from_gradient(sdf: SignedDistanceField, index: Array,
+                        gradient: Array) -> Array:
+    """``GetNextFromGradient`` (hpp:499-538): thresholded sign step toward
+    increasing distance (flipped inside obstacles) over the 26-neighborhood."""
+    d = sdf.get_index(index)
+    working = jnp.where((d < 0.0)[..., None], -gradient, gradient)
+    thresh = jnp.float32(sdf.resolution * 0.06125)
+    step = jnp.where(working > thresh, 1,
+                     jnp.where(working < -thresh, -1, 0)).astype(index.dtype)
+    return index + step
+
+
+def compute_local_extrema_map(sdf: SignedDistanceField,
+                              max_jump_rounds: int = 64) -> Array:
+    """``ComputeLocalExtremaMap`` (hpp:1205-1231) as a parallel fixed point.
+
+    Returns ``f32[nx, ny, nz, 3]`` grid-frame locations of the local extremum
+    each cell's gradient walk converges to; ``+inf`` marks walks that escape
+    the grid (matching hpp:436-442). The reference's serial memoized walk is
+    replaced by pointer jumping over the one-step "next cell" field:
+
+    * flat cells (hpp:403-410) are terminals mapping to their own center,
+    * steps off the grid are terminals mapping to ``+inf``,
+    * gradient cycles (mutually pointing cells, hpp:425-432) map every cycle
+      member to the lexicographically-first member's center (the reference
+      uses the scan-order walk entry point; both are inside the same cycle).
+    """
+    spec = sdf.spec
+    nx, ny, nz = spec.counts
+    n = nx * ny * nz
+    sentinel = jnp.int32(n)  # off-grid terminal
+
+    all_idx = spec.unflatten_index(jnp.arange(n, dtype=jnp.int32))
+    grad = get_index_coarse_gradient(sdf, all_idx,
+                                     enable_edge_gradients=True)
+    flat = _gradient_is_effectively_flat(grad.gradient, spec.resolution)
+    nxt_idx = _next_from_gradient(sdf, all_idx, grad.gradient)
+    in_bounds = spec.check_grid_index_in_bounds(nxt_idx)
+    nxt = jnp.where(
+        flat, jnp.arange(n, dtype=jnp.int32),
+        jnp.where(in_bounds, spec.flat_index(nxt_idx).astype(jnp.int32),
+                  sentinel))
+    # Extend with the sentinel self-loop.
+    nxt_ext = jnp.concatenate([nxt, jnp.array([n], dtype=jnp.int32)])
+
+    # Pointer jumping: after ceil(log2(n)) rounds every chain has collapsed
+    # onto its terminal or into a cycle.
+    rounds = max(1, min(max_jump_rounds, int(jnp.ceil(jnp.log2(n))) + 2))
+    ptr = nxt_ext
+
+    def jump(_, p):
+        return p[p]
+
+    ptr = lax.fori_loop(0, rounds, jump, ptr)
+
+    # Cycle representative: min flat index over each cycle, propagated along
+    # the original next pointers until fixed point (cycles are tiny).
+    rep0 = jnp.arange(n + 1, dtype=jnp.int32)
+
+    def rep_cond(state):
+        rep, changed = state
+        return changed
+
+    def rep_body(state):
+        rep, _ = state
+        new = jnp.minimum(rep, rep[nxt_ext])
+        return new, jnp.any(new != rep)
+
+    rep, _ = lax.while_loop(rep_cond, rep_body, (rep0, jnp.bool_(True)))
+
+    core = ptr[:n]
+    core_safe = jnp.minimum(core, n - 1)
+    # A core node is a terminal if it self-loops in nxt (flat cell) or is the
+    # sentinel; otherwise the chain fell into a cycle.
+    core_is_flat = (nxt_ext[core_safe] == core_safe) & (core != sentinel)
+    core_is_oob = core == sentinel
+    target = jnp.where(core_is_flat, core_safe, rep[core_safe])
+
+    centers = spec.grid_index_to_location_in_grid_frame(
+        spec.unflatten_index(target))
+    extrema = jnp.where(core_is_oob[..., None],
+                        jnp.full_like(centers, jnp.inf), centers)
+    return extrema.reshape(nx, ny, nz, 3)

@@ -1,0 +1,357 @@
+"""Pointcloud voxelization: multi-camera depth-cloud ray carving + fusion.
+
+TPU-native redesign of the reference's voxelization stack
+(/root/reference/include/voxelized_geometry_tools/pointcloud_voxelization_interface.hpp,
+.../src/.../cpu_pointcloud_voxelization.cpp and the CUDA/OpenCL kernels in
+cuda_voxelization_helpers.cu:73-426):
+
+* a *pointcloud* is a pytree of ``[N, 3]`` camera-frame points + an
+  ``X_WC`` origin transform + max range (replaces ``PointCloudWrapper``,
+  pointcloud_voxelization_interface.hpp:94-204),
+* per-cloud *tracking grids* of ``{seen_free, seen_filled}`` int32 counters
+  (replaces atomic ``CpuVoxelizationTrackingCell``) are built with an
+  Amanatides–Woo DDA walk under ``lax.scan`` vmapped over rays, accumulated
+  with a single scatter-add per cloud — the contention-free TPU analogue of
+  ``atomicAdd`` carving,
+* the ``CountsSeenAs`` fusion filter (hpp:55-86 + cpu cpp:438-497) is a pure
+  per-voxel map over stacked camera grids.
+
+Ray-walk semantics (entry clipping, endpoint marking, step tie-breaking,
+early exit at grid boundaries) follow cpu_pointcloud_voxelization.cpp:208-436
+exactly, so the raycast count invariants from voxel_raycasting_test.cpp hold.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core import transforms
+from ..core.grid import GridSpec
+from ..core.maps import OccupancyMap
+
+Array = jnp.ndarray
+
+
+class SeenAs(enum.IntEnum):
+    """pointcloud_voxelization_interface.hpp:18."""
+    UNKNOWN = 0
+    FILLED = 1
+    FREE = 2
+
+
+class FilterOptions(NamedTuple):
+    """``PointCloudVoxelizationFilterOptions`` (hpp:20-92)."""
+    percent_seen_free: float = 1.0
+    outlier_points_threshold: int = 1
+    num_cameras_seen_free: int = 1
+
+    def validate(self) -> "FilterOptions":
+        if not (0.0 < self.percent_seen_free <= 1.0):
+            raise ValueError("0 < percent_seen_free <= 1 must be true")
+        if self.outlier_points_threshold <= 0:
+            raise ValueError("outlier_points_threshold <= 0")
+        if self.num_cameras_seen_free <= 0:
+            raise ValueError("num_cameras_seen_free <= 0")
+        return self
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointCloud:
+    """Camera-frame depth points + camera pose (``PointCloudWrapper``)."""
+    points: Array  # f32 [N, 3] in camera frame; non-finite points skipped
+    origin_transform: Array  # f32 [4, 4] X_WC
+    max_range: Array  # f32 scalar
+
+    @staticmethod
+    def create(points, origin_transform=None,
+               max_range: float = float("inf")) -> "PointCloud":
+        if origin_transform is None:
+            origin_transform = jnp.eye(4, dtype=jnp.float32)
+        return PointCloud(
+            points=jnp.asarray(points, dtype=jnp.float32).reshape(-1, 3),
+            origin_transform=jnp.asarray(origin_transform, jnp.float32),
+            max_range=jnp.float32(max_range))
+
+
+class TrackingGrid(NamedTuple):
+    """Per-camera carve counters (cpu_pointcloud_voxelization.hpp:24-40)."""
+    seen_free: Array  # i32 [nx, ny, nz]
+    seen_filled: Array  # i32 [nx, ny, nz]
+
+
+class VoxelizerRuntime(NamedTuple):
+    """Phase wall timings (pointcloud_voxelization_interface.hpp:206-229)."""
+    raycasting_time: float
+    filtering_time: float
+
+
+def _ray_visits(spec: GridSpec, p_start_grid: Array, start_index: Array,
+                p_final_grid: Array, final_index: Array, ray: Array,
+                hit: Array, clipped: Array, max_steps: int):
+    """One ray's DDA walk (cpu cpp:292-435). Returns per-step flat indices of
+    seen-free marks (-1 for inactive lanes) plus the endpoint mark."""
+    n_counts = jnp.asarray(spec.counts, dtype=jnp.int32)
+    res = jnp.float32(spec.resolution)
+    half = res * 0.5
+
+    # Axis steps from index difference sign (cpp:299-321).
+    step = jnp.sign(final_index - start_index).astype(jnp.int32)
+
+    # Initial per-axis t to leave the start voxel, in units of the full ray
+    # (cpp:323-361).
+    start_center = spec.grid_index_to_location_in_grid_frame(start_index)
+    bottom = start_center - half
+    top = start_center + half
+
+    def axis_t(point_axis, ray_axis, vmin, vmax):
+        t_pos = jnp.abs((vmax - point_axis) / ray_axis)
+        t_neg = jnp.abs((point_axis - vmin) / ray_axis)
+        return jnp.where(ray_axis > 0.0, t_pos,
+                         jnp.where(ray_axis < 0.0, t_neg, jnp.inf))
+
+    t0 = jnp.stack([
+        axis_t(p_start_grid[i], ray[i], bottom[i], top[i]) for i in range(3)
+    ])
+    delta_t = jnp.where(ray != 0.0, jnp.abs(res / ray), jnp.inf)
+
+    # Endpoint mark (cpp:367-381): filled unless range-clipped.
+    final_in = spec.check_grid_index_in_bounds(final_index)
+    endpoint_flat = jnp.where(
+        hit & final_in, spec.flat_index(final_index).astype(jnp.int32), -1)
+    endpoint_is_filled = ~clipped
+
+    def body(state, _):
+        cur, t, active = state
+        running = active & jnp.any(cur != final_index)
+        in_b = jnp.all((cur >= 0) & (cur < n_counts))
+        emit = running & in_b
+        visit = jnp.where(emit, spec.flat_index(cur).astype(jnp.int32), -1)
+        alive = running & in_b
+        # Axis choice with the reference's exact tie-breaking (cpp:405-434).
+        cx = (t[0] <= t[1]) & (t[0] <= t[2])
+        cy = ~cx & (t[1] <= t[0]) & (t[1] <= t[2])
+        axis = jnp.where(cx, 0, jnp.where(cy, 1, 2))
+        at_final_on_axis = cur[axis] == final_index[axis]
+        alive = alive & ~at_final_on_axis
+        cur_new = jnp.where(alive, cur.at[axis].add(step[axis]), cur)
+        t_new = jnp.where(alive, t.at[axis].add(delta_t[axis]), t)
+        return (cur_new, t_new, alive), visit
+
+    init = (start_index, t0, hit)
+    _, visits = lax.scan(body, init, None, length=max_steps)
+    return visits, endpoint_flat, endpoint_is_filled
+
+
+def _prepare_rays(spec: GridSpec, X_GC: Array, points: Array,
+                  max_range: Array):
+    """Per-ray setup: range clip + grid entry clip (cpp:216-290)."""
+    p_gco = X_GC[:3, 3]
+    p_gp = transforms.apply_isometry(X_GC, points)  # [N, 3]
+    finite = jnp.all(jnp.isfinite(points), axis=-1)
+
+    ray = p_gp - p_gco
+    ray_len = jnp.linalg.norm(ray, axis=-1)
+    clipped = ray_len > max_range
+    scale = jnp.where(ray_len > 0, max_range / jnp.maximum(ray_len, 1e-30),
+                      0.0)
+    p_final = jnp.where(clipped[:, None], p_gco + ray * scale[:, None], p_gp)
+
+    grid_sizes = jnp.asarray(spec.grid_sizes, dtype=jnp.float32)
+    origin_index = spec.location_in_grid_frame_to_grid_index(p_gco)
+    origin_in = spec.check_grid_index_in_bounds(origin_index)
+
+    # Slab test for rays starting outside the grid (cpp:234-290,
+    # Ericson RTCD 5.3.3).
+    direction = ray / jnp.maximum(ray_len, 1e-30)[:, None]
+    flat_thresh = 1e-10
+
+    def slab(carry, axis):
+        tmin, tmax, miss = carry
+        d = direction[:, axis]
+        nearly_flat = jnp.abs(d) < flat_thresh
+        in_slab = (p_gco[axis] >= 0.0) & (p_gco[axis] < grid_sizes[axis])
+        ood = 1.0 / jnp.where(nearly_flat, 1.0, d)
+        tlow = (0.0 - p_gco[axis]) * ood
+        thigh = (grid_sizes[axis] - p_gco[axis]) * ood
+        t1 = jnp.minimum(tlow, thigh)
+        t2 = jnp.maximum(tlow, thigh)
+        tmin_new = jnp.where(nearly_flat, tmin, jnp.maximum(tmin, t1))
+        # NOTE: the reference updates tmax with `if (t2 > tmax) tmax = t2`
+        # (cpp:273-276) — widening, as written upstream — mirrored here.
+        tmax_new = jnp.where(nearly_flat, tmax, jnp.maximum(tmax, t2))
+        miss_new = miss | jnp.where(nearly_flat, ~in_slab,
+                                    tmin_new > tmax_new)
+        return (tmin_new, tmax_new, miss_new), None
+
+    n = points.shape[0]
+    tmin0 = jnp.zeros(n, jnp.float32)
+    tmax0 = jnp.broadcast_to(max_range, (n,)).astype(jnp.float32)
+    (tmin, _, miss), _ = lax.scan(slab, (tmin0, tmax0,
+                                         jnp.zeros(n, dtype=bool)),
+                                  jnp.arange(3))
+    nudge = 1e-10
+    p_entry = p_gco + direction * (tmin + nudge)[:, None]
+    p_start = jnp.where(origin_in, p_gco[None, :], p_entry)
+    hit = finite & (origin_in | ~miss)
+
+    start_index = spec.location_in_grid_frame_to_grid_index(p_start)
+    final_index = spec.location_in_grid_frame_to_grid_index(p_final)
+    return p_start, start_index, p_final, final_index, ray, hit, clipped
+
+
+def _scatter_counts(counts_flat: Array, flat_targets: Array) -> Array:
+    valid = flat_targets >= 0
+    safe = jnp.where(valid, flat_targets, 0)
+    return counts_flat.at[safe].add(valid.astype(jnp.int32), mode="drop")
+
+
+def raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
+                       cloud: PointCloud,
+                       max_steps: Optional[int] = None,
+                       ray_chunk: int = 16384) -> TrackingGrid:
+    """Carve one cloud into a fresh tracking grid
+    (``DoRaycastPointCloud``, cpu cpp:167-206). Fully jittable; rays are the
+    vmapped axis, counter accumulation is a scatter-add. Rays are processed in
+    ``ray_chunk`` blocks under ``lax.scan`` so the per-step visit buffer stays
+    bounded at ``ray_chunk * max_steps`` regardless of cloud size."""
+    if max_steps is None:
+        max_steps = spec.num_x + spec.num_y + spec.num_z + 2
+
+    X_GW = transforms.invert_isometry(grid_origin_transform)
+    X_GC = X_GW @ cloud.origin_transform
+
+    n_rays = cloud.points.shape[0]
+    n_total = spec.num_total
+    if n_rays == 0:
+        zero = jnp.zeros(spec.counts, jnp.int32)
+        return TrackingGrid(zero, zero)
+
+    chunk = min(ray_chunk, max(n_rays, 1))
+    pad = (-n_rays) % chunk
+    # Padding rays are non-finite -> hit=False -> no marks.
+    points = jnp.pad(cloud.points, ((0, pad), (0, 0)),
+                     constant_values=jnp.inf)
+    points = points.reshape(-1, chunk, 3)
+
+    def chunk_body(carry, chunk_points):
+        free_counts, filled_counts = carry
+        (p_start, start_idx, p_final, final_idx, ray, hit,
+         clipped) = _prepare_rays(spec, X_GC, chunk_points, cloud.max_range)
+
+        visits, endpoint_flat, endpoint_filled = jax.vmap(
+            lambda ps, si, pf, fi, r, h, c: _ray_visits(
+                spec, ps, si, pf, fi, r, h, c, max_steps)
+        )(p_start, start_idx, p_final, final_idx, ray, hit, clipped)
+
+        # Free marks: all DDA visits plus clipped endpoints (cpp:371-375).
+        free_flat = jnp.concatenate([
+            visits.reshape(-1),
+            jnp.where(endpoint_filled, -1, endpoint_flat),
+        ])
+        filled_flat = jnp.where(endpoint_filled, endpoint_flat, -1)
+        return (_scatter_counts(free_counts, free_flat),
+                _scatter_counts(filled_counts, filled_flat)), None
+
+    init = (jnp.zeros(n_total, jnp.int32), jnp.zeros(n_total, jnp.int32))
+    (free_counts, filled_counts), _ = lax.scan(chunk_body, init, points)
+    return TrackingGrid(seen_free=free_counts.reshape(spec.counts),
+                        seen_filled=filled_counts.reshape(spec.counts))
+
+
+def raycast_single_point(spec: GridSpec, grid_origin_transform: Array,
+                         p_world_origin, p_world_point,
+                         max_range: float = float("inf"),
+                         max_steps: Optional[int] = None) -> TrackingGrid:
+    """``CpuPointCloudVoxelizer::RaycastSinglePoint`` (cpu cpp:81-109): carve a
+    single origin->point ray given in the *grid frame* (the reference API
+    takes grid-frame p_GCo/p_GP; pass an identity grid transform for that)."""
+    origin = jnp.asarray(p_world_origin, jnp.float32)[:3]
+    point = jnp.asarray(p_world_point, jnp.float32)[:3]
+    # The cloud's camera frame is a pure translation to the ray origin, so the
+    # camera-frame point is the world offset from that origin.
+    cloud = PointCloud.create(
+        (point - origin).reshape(1, 3),
+        origin_transform=transforms.isometry_from_translation(origin),
+        max_range=max_range)
+    return raycast_pointcloud(spec, grid_origin_transform, cloud, max_steps)
+
+
+def counts_seen_as(options: FilterOptions, seen_free: Array,
+                   seen_filled: Array) -> Array:
+    """Vectorized ``CountsSeenAs`` voting rule (hpp:55-86). Returns int8
+    SeenAs codes."""
+    filtered_filled = jnp.where(
+        seen_filled >= options.outlier_points_threshold, seen_filled, 0)
+    both = (seen_free > 0) & (filtered_filled > 0)
+    pct = seen_free.astype(jnp.float32) / jnp.maximum(
+        (seen_free + filtered_filled).astype(jnp.float32), 1.0)
+    both_result = jnp.where(pct >= options.percent_seen_free,
+                            SeenAs.FREE, SeenAs.FILLED)
+    result = jnp.where(
+        both, both_result,
+        jnp.where(seen_free > 0, SeenAs.FREE,
+                  jnp.where(filtered_filled > 0, SeenAs.FILLED,
+                            SeenAs.UNKNOWN)))
+    return result.astype(jnp.int8)
+
+
+def combine_and_filter(options: FilterOptions, seen_free: Array,
+                       seen_filled: Array, occupancy: Array) -> Array:
+    """Fuse stacked per-camera counters ``[C, nx, ny, nz]`` into occupancy
+    (``DoCombineAndFilterGrids``, cpu cpp:438-497). Filled static cells are
+    left untouched; others become filled if any camera saw a hit, free if
+    enough cameras saw through, else unknown."""
+    seen = counts_seen_as(options, seen_free, seen_filled)  # [C, ...]
+    cameras_filled = jnp.sum((seen == SeenAs.FILLED).astype(jnp.int32),
+                             axis=0)
+    cameras_free = jnp.sum((seen == SeenAs.FREE).astype(jnp.int32), axis=0)
+    fused = jnp.where(
+        cameras_filled > 0, jnp.float32(1.0),
+        jnp.where(cameras_free >= options.num_cameras_seen_free,
+                  jnp.float32(0.0), jnp.float32(0.5)))
+    return jnp.where(occupancy <= 0.5, fused, occupancy)
+
+
+def voxelize_pointclouds(
+        static_environment: OccupancyMap,
+        filter_options: FilterOptions,
+        pointclouds: Sequence[PointCloud],
+        runtime_log_fn: Optional[Callable[[VoxelizerRuntime], None]] = None,
+        max_steps: Optional[int] = None) -> OccupancyMap:
+    """End-to-end ``VoxelizePointClouds`` (pointcloud_voxelization_interface.
+    hpp:246-292): carve each cloud into its own tracking grid, then fuse.
+    Wall times for the two phases are reported like ``VoxelizerRuntime``."""
+    filter_options.validate()
+    spec = static_environment.spec
+
+    t0 = time.monotonic()
+    if pointclouds:
+        grids = [raycast_pointcloud(spec,
+                                    static_environment.origin_transform,
+                                    cloud, max_steps)
+                 for cloud in pointclouds]
+        seen_free = jnp.stack([g.seen_free for g in grids])
+        seen_filled = jnp.stack([g.seen_filled for g in grids])
+    else:
+        seen_free = jnp.zeros((0,) + spec.counts, jnp.int32)
+        seen_filled = jnp.zeros((0,) + spec.counts, jnp.int32)
+    seen_free.block_until_ready()
+    t1 = time.monotonic()
+
+    occupancy = combine_and_filter(filter_options, seen_free, seen_filled,
+                                   static_environment.occupancy)
+    occupancy.block_until_ready()
+    t2 = time.monotonic()
+
+    if runtime_log_fn is not None:
+        runtime_log_fn(VoxelizerRuntime(t1 - t0, t2 - t1))
+    return static_environment.replace(occupancy=occupancy)
