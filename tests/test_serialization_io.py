@@ -1,0 +1,176 @@
+"""Serialization, conversions, message wrap, viz export, PointCloud2 tests.
+
+Map-level round-trip strategy mirrors
+/root/reference/test/occupancy_map_conversions_test.cpp (defaults, uniform
+fills, per-index patterned grids, frame/origin preservation)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxelized_geometry_tools_tpu import (
+    GridSpec, OccupancyComponentMap, OccupancyMap, SignedDistanceField,
+    TaggedObjectOccupancyComponentMap, TaggedObjectOccupancyMap)
+from voxelized_geometry_tools_tpu.core import (
+    conversions, serialization, transforms)
+from voxelized_geometry_tools_tpu.io import messages, pointcloud2, viz
+
+
+def patterned_maps():
+    spec = GridSpec.from_voxel_counts(0.25, (4, 5, 6))
+    origin = transforms.isometry_from_translation((1.0, -2.0, 0.5))
+    rng = np.random.default_rng(5)
+    occ = rng.choice([0.0, 0.5, 1.0], size=spec.counts).astype(np.float32)
+    obj = rng.integers(0, 4, size=spec.counts).astype(np.uint32)
+    comp = rng.integers(0, 3, size=spec.counts).astype(np.uint32)
+    seg = rng.integers(0, 3, size=spec.counts).astype(np.uint32)
+
+    m1 = OccupancyMap.create(spec, origin, "frame_a").replace(
+        occupancy=jnp.asarray(occ))
+    m2 = OccupancyComponentMap.create(spec, origin, "frame_b").replace(
+        occupancy=jnp.asarray(occ), component=jnp.asarray(comp))
+    m3 = TaggedObjectOccupancyMap.create(spec, origin, "frame_c").replace(
+        occupancy=jnp.asarray(occ), object_id=jnp.asarray(obj))
+    m4 = TaggedObjectOccupancyComponentMap.create(
+        spec, origin, "frame_d").replace(
+        occupancy=jnp.asarray(occ), object_id=jnp.asarray(obj),
+        component=jnp.asarray(comp), spatial_segment=jnp.asarray(seg))
+    return [m1, m2, m3, m4]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_map_file_round_trip(tmp_path, compress):
+    for m in patterned_maps():
+        path = str(tmp_path / f"{type(m).__name__}.vgt")
+        serialization.save_to_file(m, path, compress=compress)
+        loaded = serialization.load_from_file(path)
+        assert type(loaded) is type(m)
+        assert loaded.spec == m.spec
+        assert loaded.frame == m.frame
+        np.testing.assert_allclose(np.asarray(loaded.origin_transform),
+                                   np.asarray(m.origin_transform), atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(loaded.occupancy),
+                                      np.asarray(m.occupancy))
+        if hasattr(m, "object_id"):
+            np.testing.assert_array_equal(np.asarray(loaded.object_id),
+                                          np.asarray(m.object_id))
+
+
+def test_sdf_round_trip_preserves_lock_and_magic(tmp_path):
+    spec = GridSpec.from_voxel_counts(0.5, (3, 3, 3))
+    sdf = SignedDistanceField.create(
+        spec, np.arange(27, dtype=np.float32).reshape(3, 3, 3) - 13.0,
+        frame="sdf_frame", oob_value=42.0, locked=True)
+    path = str(tmp_path / "test.sdf")
+    serialization.save_to_file(sdf, path, compress=True)
+    with open(path, "rb") as f:
+        assert f.read(4) == b"SDFZ"
+    loaded = serialization.load_from_file(path)
+    assert loaded.locked
+    assert loaded.oob_value == 42.0
+    assert float(loaded.minimum) == -13.0
+    assert float(loaded.maximum) == 13.0
+    np.testing.assert_array_equal(np.asarray(loaded.distances),
+                                  np.asarray(sdf.distances))
+    # Uncompressed magic.
+    serialization.save_to_file(sdf, path, compress=False)
+    with open(path, "rb") as f:
+        assert f.read(4) == b"SDFR"
+    assert serialization.load_from_file(path).frame == "sdf_frame"
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError):
+        serialization.from_file_bytes(b"XXXX" + b"junk")
+    with pytest.raises(ValueError):
+        serialization.from_file_bytes(b"ab")
+
+
+def test_conversions_round_trip():
+    m1, m2, m3, m4 = patterned_maps()
+    # occupancy <-> occupancy component
+    up = conversions.to_occupancy_component_map(m1)
+    np.testing.assert_array_equal(np.asarray(up.occupancy),
+                                  np.asarray(m1.occupancy))
+    assert np.asarray(up.component).max() == 0
+    down = conversions.from_occupancy_component_map(m2)
+    np.testing.assert_array_equal(np.asarray(down.occupancy),
+                                  np.asarray(m2.occupancy))
+    assert down.frame == m2.frame
+    # tagged <-> tagged component
+    up2 = conversions.to_tagged_object_occupancy_component_map(m3)
+    np.testing.assert_array_equal(np.asarray(up2.object_id),
+                                  np.asarray(m3.object_id))
+    down2 = conversions.from_tagged_object_occupancy_component_map(m4)
+    np.testing.assert_array_equal(np.asarray(down2.occupancy),
+                                  np.asarray(m4.occupancy))
+    np.testing.assert_array_equal(np.asarray(down2.object_id),
+                                  np.asarray(m4.object_id))
+
+
+def test_message_round_trip():
+    for m in patterned_maps():
+        msg = messages.get_message_representation(m, compress=True)
+        assert msg["is_compressed"]
+        loaded = messages.load_from_message_representation(msg)
+        assert type(loaded) is type(m)
+        np.testing.assert_array_equal(np.asarray(loaded.occupancy),
+                                      np.asarray(m.occupancy))
+
+
+def test_pointcloud2_parsing():
+    pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+    # 16-byte point step with 4 bytes padding.
+    raw = np.zeros((10, 16), np.uint8)
+    raw[:, :12] = pts.view(np.uint8).reshape(10, 12)
+    msg = {
+        "fields": [
+            {"name": "x", "offset": 0, "datatype": pointcloud2.FLOAT32},
+            {"name": "y", "offset": 4, "datatype": pointcloud2.FLOAT32},
+            {"name": "z", "offset": 8, "datatype": pointcloud2.FLOAT32},
+        ],
+        "point_step": 16, "width": 10, "height": 1,
+        "data": raw.tobytes(),
+    }
+    cloud = pointcloud2.pointcloud_from_pointcloud2(msg, np.eye(4), 10.0)
+    np.testing.assert_array_equal(np.asarray(cloud.points), pts)
+    # Non-sequential fields rejected.
+    bad = dict(msg)
+    bad["fields"] = [
+        {"name": "x", "offset": 0, "datatype": pointcloud2.FLOAT32},
+        {"name": "y", "offset": 8, "datatype": pointcloud2.FLOAT32},
+        {"name": "z", "offset": 4, "datatype": pointcloud2.FLOAT32},
+    ]
+    with pytest.raises(ValueError):
+        pointcloud2.pointcloud_from_pointcloud2(bad, np.eye(4), 10.0)
+    with pytest.raises(ValueError):
+        pointcloud2.pointcloud_from_pointcloud2(msg, np.eye(4), -1.0)
+
+
+def test_viz_exports():
+    m1, m2, _, m4 = patterned_maps()
+    marker = viz.export_occupancy_for_display(m1)
+    occ = np.asarray(m1.occupancy)
+    assert marker.num_cells == occ.size  # all cells colored
+    assert marker.positions.shape[1] == 3
+    assert marker.colors.shape[1] == 4
+    # Filled cells red, free green.
+    filled_frac = (occ > 0.5).sum()
+    red = (marker.colors[:, 0] == 1.0) & (marker.colors[:, 1] == 0.0)
+    assert red.sum() == filled_frac
+
+    comp_marker = viz.export_connected_components_for_display(m2)
+    assert comp_marker.num_cells == int((np.asarray(m2.component) > 0).sum())
+
+    seg_marker = viz.export_spatial_segments_for_display(m4)
+    assert seg_marker.num_cells == int(
+        (np.asarray(m4.spatial_segment) > 0).sum())
+
+    from voxelized_geometry_tools_tpu.ops import edt
+    sdf = edt.extract_sdf_from_occupancy(m1.occupancy, m1.spec,
+                                         m1.origin_transform)
+    sdf_marker = viz.export_sdf_for_display(sdf)
+    assert sdf_marker.num_cells == occ.size
+    coll_marker = viz.export_sdf_collision_only(sdf)
+    assert coll_marker.num_cells == int(
+        (np.asarray(sdf.distances) <= 0.0).sum())

@@ -1,0 +1,170 @@
+"""Visualization export: the RViz CUBE_LIST payloads without the ROS types.
+
+TPU-native equivalent of the reference ROS interface's display exporters
+(/root/reference/include/voxelized_geometry_tools/ros_interface.hpp:92-411 and
+src/.../ros_interface.cpp:41-1065): every exporter returns a
+:class:`VoxelMarker` — grid-frame cell positions + RGBA colors + the marker
+pose/scale — which is exactly the data content of a
+``visualization_msgs::Marker`` CUBE_LIST and trivially convertible to one by a
+thin ROS shim (kept out of this package to avoid a ROS dependency).
+
+Cells with alpha == 0 are dropped, matching ExportVoxelGridToRViz
+(ros_interface.hpp:130-141).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+Rgba = tuple
+
+# A deterministic 20-color palette standing in for
+# common_robotics_utilities::color_builder::LookupUniqueColor; component 0
+# maps to transparent black like the reference's "no component" color.
+_UNIQUE_COLORS = np.array([
+    (0.0, 0.0, 0.0),  # 0 -> unused (alpha forced to 0)
+    (0.8, 0.1, 0.1), (0.1, 0.8, 0.1), (0.1, 0.1, 0.8), (0.8, 0.8, 0.1),
+    (0.8, 0.1, 0.8), (0.1, 0.8, 0.8), (0.5, 0.3, 0.0), (1.0, 0.5, 0.0),
+    (0.5, 0.0, 1.0), (0.0, 0.5, 1.0), (0.6, 0.6, 0.6), (0.3, 0.0, 0.0),
+    (0.0, 0.3, 0.0), (0.0, 0.0, 0.3), (0.9, 0.7, 0.7), (0.7, 0.9, 0.7),
+    (0.7, 0.7, 0.9), (0.4, 0.2, 0.6), (0.2, 0.6, 0.4),
+], dtype=np.float32)
+
+
+@dataclasses.dataclass
+class VoxelMarker:
+    """Data content of a CUBE_LIST marker."""
+    frame: str
+    pose: np.ndarray  # [4, 4] marker pose = grid origin transform
+    scale: np.ndarray  # [3] voxel sizes
+    positions: np.ndarray  # [N, 3] grid-frame cell centers
+    colors: np.ndarray  # [N, 4] RGBA
+
+    @property
+    def num_cells(self) -> int:
+        return self.positions.shape[0]
+
+
+def lookup_component_color(component: int, alpha: float = 1.0) -> np.ndarray:
+    """``LookupComponentColor`` (ros_interface.hpp:85-90)."""
+    idx = int(component) % len(_UNIQUE_COLORS)
+    rgb = _UNIQUE_COLORS[idx]
+    a = 0.0 if component == 0 else alpha
+    return np.array([rgb[0], rgb[1], rgb[2], a], dtype=np.float32)
+
+
+def export_voxel_grid(spec, origin_transform, frame: str,
+                      color_fn: Callable[[np.ndarray], np.ndarray],
+                      *channels) -> VoxelMarker:
+    """Generic exporter (``ExportVoxelGridToRViz``, ros_interface.hpp:92-148).
+
+    ``color_fn`` maps per-voxel channel values (numpy arrays of shape
+    ``[nx,ny,nz]``) to RGBA ``[nx,ny,nz,4]``; zero-alpha cells are dropped.
+    """
+    chans = [np.asarray(c) for c in channels]
+    rgba = np.asarray(color_fn(*chans), dtype=np.float32)
+    keep = rgba[..., 3] > 0.0
+    idx = np.argwhere(keep)
+    res = spec.resolution
+    positions = (idx.astype(np.float64) + 0.5) * res
+    return VoxelMarker(
+        frame=frame, pose=np.asarray(origin_transform, np.float64),
+        scale=np.full(3, res), positions=positions,
+        colors=rgba[keep])
+
+
+def export_occupancy_for_display(
+        omap, collision_color=(1.0, 0.0, 0.0, 0.5),
+        free_color=(0.0, 1.0, 0.0, 0.5),
+        unknown_color=(1.0, 1.0, 0.0, 0.5)) -> VoxelMarker:
+    """``ExportForDisplay`` occupancy coloring (ros_interface.cpp:41-70):
+    filled (>0.5) / free (<0.5) / unknown (==0.5)."""
+
+    def color(occ):
+        rgba = np.empty(occ.shape + (4,), np.float32)
+        rgba[occ > 0.5] = collision_color
+        rgba[occ < 0.5] = free_color
+        rgba[occ == 0.5] = unknown_color
+        return rgba
+
+    return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
+                             color, omap.occupancy)
+
+
+def export_surfaces_for_display(omap, surface_mask,
+                                surface_color=(1.0, 0.0, 0.0, 1.0)
+                                ) -> VoxelMarker:
+    """``ExportSurfacesForDisplay``: only surface cells, one color."""
+
+    def color(occ, surf):
+        rgba = np.zeros(occ.shape + (4,), np.float32)
+        rgba[surf.astype(bool)] = surface_color
+        return rgba
+
+    return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
+                             color, omap.occupancy, surface_mask)
+
+
+def export_connected_components_for_display(omap) -> VoxelMarker:
+    """``ExportConnectedComponentsForDisplay``: per-component unique colors
+    (ros_interface.cpp via LookupComponentColor)."""
+
+    def color(comp):
+        palette = np.stack([lookup_component_color(c)
+                            for c in range(len(_UNIQUE_COLORS))])
+        rgba = palette[comp.astype(np.int64) % len(_UNIQUE_COLORS)]
+        rgba[comp == 0, 3] = 0.0
+        return rgba
+
+    return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
+                             color, omap.component)
+
+
+def export_spatial_segments_for_display(omap) -> VoxelMarker:
+    """``ExportSpatialSegmentForDisplay`` (ros_interface.cpp:1065)."""
+
+    def color(seg):
+        palette = np.stack([lookup_component_color(c)
+                            for c in range(len(_UNIQUE_COLORS))])
+        rgba = palette[seg.astype(np.int64) % len(_UNIQUE_COLORS)]
+        rgba[seg == 0, 3] = 0.0
+        return rgba
+
+    return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
+                             color, omap.spatial_segment)
+
+
+def export_sdf_for_display(sdf, alpha: float = 0.5) -> VoxelMarker:
+    """``ExportSDFForDisplay`` (ros_interface.hpp:332-381): distance-colored —
+    blue outside scaled by +range, red inside scaled by -range."""
+    distances = np.asarray(sdf.distances)
+    finite = np.isfinite(distances)
+    dmax = distances[finite & (distances > 0)].max(initial=1e-6)
+    dmin = distances[finite & (distances < 0)].min(initial=-1e-6)
+
+    def color(d):
+        rgba = np.zeros(d.shape + (4,), np.float32)
+        pos = d >= 0.0
+        rgba[..., 2] = np.where(pos, np.clip(d / dmax, 0, 1), 0.0)
+        rgba[..., 0] = np.where(~pos, np.clip(d / dmin, 0, 1), 0.0)
+        rgba[..., 3] = alpha
+        return rgba
+
+    return export_voxel_grid(sdf.spec, sdf.origin_transform, sdf.frame,
+                             color, sdf.distances)
+
+
+def export_sdf_collision_only(sdf, collision_color=(1.0, 0.0, 0.0, 0.5)
+                              ) -> VoxelMarker:
+    """Collision-only SDF display (ros_interface.hpp:383-411)."""
+
+    def color(d):
+        rgba = np.zeros(d.shape + (4,), np.float32)
+        rgba[d <= 0.0] = collision_color
+        return rgba
+
+    return export_voxel_grid(sdf.spec, sdf.origin_transform, sdf.frame,
+                             color, sdf.distances)
