@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on an 8-device virtual CPU mesh.
+
+The determinism contract mirrors the reference's DegreeOfParallelism-
+parameterized suites (SURVEY.md section 4): the sharded result must equal the
+single-device result bit-for-bit for any shard count."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voxelized_geometry_tools_tpu import GridSpec, OccupancyMap
+from voxelized_geometry_tools_tpu.core import transforms
+from voxelized_geometry_tools_tpu.ops import edt, render, voxelize
+from voxelized_geometry_tools_tpu.parallel import mesh_utils, sharded
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return mesh_utils.make_mesh(("z",))
+
+
+def test_sharded_edt_matches_single_device(mesh8):
+    rng = np.random.default_rng(17)
+    seed = rng.random((16, 8, 24)) < 0.15
+    seed[3, 3, 3] = True
+    single = np.asarray(edt.squared_edt(jnp.asarray(seed)))
+    multi = np.asarray(sharded.sharded_squared_edt(jnp.asarray(seed), mesh8))
+    np.testing.assert_array_equal(single, multi)
+
+
+def test_sharded_sdf_matches_single_device(mesh8):
+    rng = np.random.default_rng(23)
+    occ = (rng.random((8, 8, 16)) < 0.2).astype(np.float32)
+    spec = GridSpec.from_voxel_counts(0.25, occ.shape)
+    single = edt.extract_sdf_from_occupancy(jnp.asarray(occ), spec, None)
+    multi = sharded.sharded_extract_sdf(jnp.asarray(occ), spec,
+                                        jnp.eye(4), mesh8)
+    np.testing.assert_array_equal(np.asarray(single.distances),
+                                  np.asarray(multi.distances))
+
+
+def test_sharded_carve_matches_single_device(mesh8):
+    spec = GridSpec.from_voxel_counts(0.25, (8, 8, 8))
+    origin = transforms.isometry_from_translation((-1.0, -1.0, -1.0))
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1.5, 1.5, size=(333, 3)).astype(np.float32)
+    cloud = voxelize.PointCloud.create(pts, np.eye(4, dtype=np.float32))
+
+    single = voxelize.raycast_pointcloud(spec, origin, cloud)
+    multi = sharded.sharded_raycast_pointcloud(spec, origin, cloud, mesh8)
+    np.testing.assert_array_equal(np.asarray(single.seen_free),
+                                  np.asarray(multi.seen_free))
+    np.testing.assert_array_equal(np.asarray(single.seen_filled),
+                                  np.asarray(multi.seen_filled))
+
+
+def test_sharded_render_matches_single_device(mesh8):
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    camera = render.PinholeCamera.create(pose, width=24, height=16, focal=20.0)
+
+    single = render.render_depth(sdf, camera, num_steps=32).depth
+    multi = sharded.sharded_render_depth(sdf, camera, mesh8, num_steps=32)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-6)
+
+
+def test_sharded_voxelize_pipeline(mesh8):
+    spec = GridSpec.from_voxel_counts(0.25, (8, 8, 8))
+    origin = transforms.isometry_from_translation((-1.0, -1.0, -1.0))
+    env = OccupancyMap.create(spec, origin, "world")
+    pts = np.stack(np.meshgrid(np.linspace(-0.9, 0.9, 16),
+                               np.linspace(-0.9, 0.9, 16),
+                               indexing="ij"), -1)
+    pts = np.concatenate([pts, np.full((16, 16, 1), 0.8)], -1).reshape(-1, 3)
+    cloud = voxelize.PointCloud.create(pts.astype(np.float32),
+                                       np.eye(4, dtype=np.float32))
+    single = voxelize.voxelize_pointclouds(env, voxelize.FilterOptions(),
+                                           [cloud])
+    multi = sharded.sharded_voxelize_pointclouds(
+        env, voxelize.FilterOptions(), [cloud], mesh8)
+    np.testing.assert_array_equal(np.asarray(single.occupancy),
+                                  np.asarray(multi.occupancy))

@@ -1,0 +1,196 @@
+"""Flagship end-to-end pipeline: pointclouds -> occupancy -> SDF ->
+differentiable sphere-traced render, with gradient-based refinement.
+
+This composes the framework's stages into the "one model running end-to-end"
+milestone from SURVEY.md section 7 stage 4:
+
+  multi-camera depth clouds --(DDA carve + fusion filter)--> occupancy grid
+  --(separable EDT)--> signed distance field --(sphere tracing)--> depth /
+  silhouette images, with pixel gradients flowing back to voxel distances and
+  camera poses (BASELINE.json north star).
+
+Notes on differentiability: the carve (integer scatter) and the EDT (discrete
+nearest-site assignment) are data pipeline stages — piecewise-constant in
+their inputs, so gradients flow from pixels to the *SDF voxel values* and the
+*poses*, not through the carve. Refinement therefore treats the SDF distance
+grid (and optionally a camera pose) as the trainable parameters, exactly the
+setup the north star measures (pose-gradient descent fit; voxel-gradient
+all-reduce in the sharded variant)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core import transforms
+from ..core.grid import GridSpec
+from ..core.maps import OccupancyMap, SignedDistanceField
+from ..ops import edt, render, sdf_query, voxelize
+
+Array = jnp.ndarray
+
+
+class PipelineOutput(NamedTuple):
+    occupancy_map: OccupancyMap
+    sdf: SignedDistanceField
+    render_result: render.RenderResult
+
+
+def reconstruct(static_environment: OccupancyMap,
+                clouds: Sequence[voxelize.PointCloud],
+                camera: render.PinholeCamera,
+                filter_options: voxelize.FilterOptions = voxelize.FilterOptions(),
+                unknown_is_filled: bool = True,
+                num_render_steps: int = 64,
+                max_depth: float = 100.0) -> PipelineOutput:
+    """Full forward pipeline: carve -> fuse -> EDT -> render."""
+    carved = voxelize.voxelize_pointclouds(static_environment, filter_options,
+                                           list(clouds))
+    sdf = edt.extract_sdf_from_occupancy(
+        carved.occupancy, carved.spec, carved.origin_transform,
+        frame=carved.frame, unknown_is_filled=unknown_is_filled)
+    result = render.render_depth(sdf, camera, num_steps=num_render_steps,
+                                 max_depth=max_depth)
+    return PipelineOutput(carved, sdf, result)
+
+
+# -- Pose parameterization (se3 tangent) -------------------------------------
+
+
+def se3_exp(tangent: Array) -> Array:
+    """Exponential map from a 6-vector ``(rx, ry, rz, tx, ty, tz)`` to an
+    isometry — differentiable pose parameterization for pose optimization.
+
+    Uses the unnormalized-skew Rodrigues form ``R = I + A K + B K^2`` with
+    smooth coefficients ``A = sin(t)/t``, ``B = (1-cos(t))/t^2`` so gradients
+    are finite at the identity (a normalized-axis formulation has a NaN
+    gradient at ``tangent = 0``, exactly where pose fits start)."""
+    rot_vec = tangent[:3]
+    trans = tangent[3:]
+    theta_sq = jnp.sum(rot_vec * rot_vec)
+    # Double-where Taylor switch: near zero use the series (the trig branch
+    # sees a safe theta so its unused gradient stays finite in f32).
+    small = theta_sq < 1e-8
+    safe_theta_sq = jnp.where(small, 1.0, theta_sq)
+    safe_theta = jnp.sqrt(safe_theta_sq)
+    a = jnp.where(small, 1.0 - theta_sq / 6.0,
+                  jnp.sin(safe_theta) / safe_theta)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0,
+                  (1.0 - jnp.cos(safe_theta)) / safe_theta_sq)
+    kx, ky, kz = rot_vec[0], rot_vec[1], rot_vec[2]
+    zero = jnp.zeros((), tangent.dtype)
+    k = jnp.stack([
+        jnp.stack([zero, -kz, ky]),
+        jnp.stack([kz, zero, -kx]),
+        jnp.stack([-ky, kx, zero]),
+    ])
+    rot = jnp.eye(3, dtype=tangent.dtype) + a * k + b * (k @ k)
+    m = jnp.eye(4, dtype=tangent.dtype)
+    m = m.at[:3, :3].set(rot)
+    return m.at[:3, 3].set(trans)
+
+
+def perturb_pose(base_pose: Array, tangent: Array) -> Array:
+    """Left-compose a tangent perturbation onto a base pose."""
+    return se3_exp(tangent) @ base_pose
+
+
+# -- Differentiable fitting ---------------------------------------------------
+
+
+def depth_loss(sdf: SignedDistanceField, camera: render.PinholeCamera,
+               target_depth: Array, num_steps: int = 64,
+               max_depth: float = 100.0,
+               huber_delta: float = 0.1) -> Array:
+    """Masked Huber loss between rendered and target depth (rays that miss in
+    either image are excluded so the loss is smooth)."""
+    result = render.render_depth(sdf, camera, num_steps=num_steps,
+                                 max_depth=max_depth)
+    valid = result.hit & jnp.isfinite(target_depth) & (
+        target_depth < max_depth)
+    err = jnp.where(valid, result.depth - target_depth, 0.0)
+    loss = optax.huber_loss(err, delta=huber_delta)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
+
+
+@dataclasses.dataclass
+class PoseFitResult:
+    pose: Array
+    tangent: Array
+    losses: Array
+
+
+def fit_camera_pose(sdf: SignedDistanceField, base_camera: render.PinholeCamera,
+                    target_depth: Array, num_iters: int = 50,
+                    learning_rate: float = 3e-3, num_steps: int = 48,
+                    max_depth: float = 100.0) -> PoseFitResult:
+    """Gradient-descent camera pose fit against a target depth image — the
+    north star's "pose-gradient descent convergence" benchmark: pixel
+    gradients flow through sphere tracing into the se3 tangent."""
+    base_pose = base_camera.pose
+
+    def loss_fn(tangent):
+        cam = dataclasses.replace(base_camera,
+                                  pose=perturb_pose(base_pose, tangent))
+        return depth_loss(sdf, cam, target_depth, num_steps=num_steps,
+                          max_depth=max_depth)
+
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(tangent, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(tangent)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(tangent, updates), opt_state, loss
+
+    tangent = jnp.zeros(6, jnp.float32)
+    opt_state = optimizer.init(tangent)
+    losses = []
+    for _ in range(num_iters):
+        tangent, opt_state, loss = step(tangent, opt_state)
+        losses.append(loss)
+    return PoseFitResult(pose=perturb_pose(base_pose, tangent),
+                         tangent=tangent, losses=jnp.stack(losses))
+
+
+def fit_voxels(sdf: SignedDistanceField, cameras: Sequence[render.PinholeCamera],
+               target_depths: Sequence[Array], num_iters: int = 50,
+               learning_rate: float = 0.05, num_steps: int = 48,
+               max_depth: float = 100.0,
+               smoothness_weight: float = 0.1) -> Tuple[SignedDistanceField,
+                                                        Array]:
+    """Optimize the SDF voxel grid against target depth images (multi-view
+    voxel refinement — pixel-to-voxel gradients with a TV smoothness prior).
+    Returns the refined (re-locked) SDF and the loss history."""
+
+    def loss_fn(distances):
+        cur = sdf.replace(distances=distances)
+        loss = 0.0
+        for cam, target in zip(cameras, target_depths):
+            loss = loss + depth_loss(cur, cam, target, num_steps=num_steps,
+                                     max_depth=max_depth)
+        tv = (jnp.mean(jnp.abs(jnp.diff(distances, axis=0)))
+              + jnp.mean(jnp.abs(jnp.diff(distances, axis=1)))
+              + jnp.mean(jnp.abs(jnp.diff(distances, axis=2))))
+        return loss / len(cameras) + smoothness_weight * tv
+
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(distances, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(distances)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(distances, updates), opt_state, loss
+
+    distances = sdf.distances
+    opt_state = optimizer.init(distances)
+    losses = []
+    for _ in range(num_iters):
+        distances, opt_state, loss = step(distances, opt_state)
+        losses.append(loss)
+    refined = sdf.replace(distances=distances).lock()
+    return refined, jnp.stack(losses)

@@ -91,7 +91,9 @@ def _parabolic_envelope_last(f: Array, block: int = 32) -> Array:
         cand = delta * delta + fk[..., None, :]
         return jnp.minimum(d, jnp.min(cand, axis=-1)), None
 
-    d0 = jnp.full(f.shape, _INF, dtype=jnp.float32)
+    # Derive the initial carry from ``f`` (not a bare constant) so its
+    # varying-manual-axes match the body output under shard_map.
+    d0 = jnp.where(jnp.zeros(f.shape, dtype=bool), f[..., :n], _INF)
     starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
     d, _ = lax.scan(body, d0, (k_blocks, starts))
     return d

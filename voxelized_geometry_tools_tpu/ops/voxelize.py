@@ -193,10 +193,14 @@ def _prepare_rays(spec: GridSpec, X_GC: Array, points: Array,
         return (tmin_new, tmax_new, miss_new), None
 
     n = points.shape[0]
-    tmin0 = jnp.zeros(n, jnp.float32)
-    tmax0 = jnp.broadcast_to(max_range, (n,)).astype(jnp.float32)
-    (tmin, _, miss), _ = lax.scan(slab, (tmin0, tmax0,
-                                         jnp.zeros(n, dtype=bool)),
+    # Initial carries derive from `points` so their varying-manual-axes match
+    # the body outputs under shard_map (points may be +/-inf: use a select,
+    # not arithmetic, to avoid NaNs).
+    seed = jnp.where(jnp.zeros(n, dtype=bool), points[:, 0], 0.0)
+    tmin0 = seed
+    tmax0 = seed + jnp.broadcast_to(max_range, (n,)).astype(jnp.float32)
+    miss0 = seed > 0.0  # all False, varying like points
+    (tmin, _, miss), _ = lax.scan(slab, (tmin0, tmax0, miss0),
                                   jnp.arange(3))
     nudge = 1e-10
     p_entry = p_gco + direction * (tmin + nudge)[:, None]
@@ -261,7 +265,12 @@ def raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
         return (_scatter_counts(free_counts, free_flat),
                 _scatter_counts(filled_counts, filled_flat)), None
 
-    init = (jnp.zeros(n_total, jnp.int32), jnp.zeros(n_total, jnp.int32))
+    # Zero counters derived from the (possibly device-varying) points so the
+    # scan carry types match under shard_map.
+    vary = jnp.any(jnp.zeros((), dtype=bool) & jnp.isfinite(points[0, 0, 0]))
+    zero_counts = jnp.where(vary, 1, 0).astype(jnp.int32) + jnp.zeros(
+        n_total, jnp.int32)
+    init = (zero_counts, zero_counts)
     (free_counts, filled_counts), _ = lax.scan(chunk_body, init, points)
     return TrackingGrid(seen_free=free_counts.reshape(spec.counts),
                         seen_filled=filled_counts.reshape(spec.counts))

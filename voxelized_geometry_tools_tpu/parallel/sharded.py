@@ -1,0 +1,185 @@
+"""Sharded implementations of the dense passes (shard_map over a device mesh).
+
+Strategy (SURVEY.md section 5, BASELINE.json north star):
+
+* **EDT**: the grid is sharded by Z-slabs. The X and Y sweeps only need data
+  within a slab, so they run locally. The Z sweep needs whole Z lines, so the
+  grid is *transposed through the interconnect* with ``all_to_all`` (X-shards
+  <-> Z-shards), swept locally, and transposed back — the all-to-all rides
+  ICI and moves each element exactly twice, which beats halo-exchange
+  envelope merging for the global lower-envelope pass.
+* **Ray carving**: rays are sharded; every device scatter-adds its rays into
+  a local full-size counter grid and a single ``psum`` fuses the per-camera
+  tracking grids (the contention-free analogue of the reference's atomics
+  across devices).
+* **Rendering**: rays (pixels) are sharded; the SDF grid is replicated inside
+  the shard (gather-heavy sampling wants local data); the loss/gradients
+  ``psum`` back — gradient all-reduce handled by jit's partitioner.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..core.grid import GridSpec
+from ..core.maps import OccupancyMap, SignedDistanceField
+from ..ops import edt as edt_ops
+from ..ops import render as render_ops
+from ..ops import voxelize as voxelize_ops
+
+Array = jnp.ndarray
+
+
+# -- Sharded EDT -------------------------------------------------------------
+
+
+def sharded_squared_edt(seed: Array, mesh: Mesh, axis_name: str = "z",
+                        block: int = 32) -> Array:
+    """Exact squared EDT over a Z-slab-sharded ``[nx, ny, nz]`` bool grid."""
+    n_shards = mesh.shape[axis_name]
+    nx, ny, nz = seed.shape
+    if nx % n_shards or nz % n_shards:
+        raise ValueError(
+            f"nx ({nx}) and nz ({nz}) must divide the '{axis_name}' axis "
+            f"size {n_shards}")
+
+    def local_edt(local_seed):
+        # local_seed: [nx, ny, nz / n]; X pass (binary) + Y pass are local.
+        d = jnp.moveaxis(
+            edt_ops._binary_squared_dist_last(
+                jnp.moveaxis(local_seed, 0, -1)), -1, 0)
+        if ny > 1:
+            d = jnp.moveaxis(
+                edt_ops._parabolic_envelope_last(
+                    jnp.moveaxis(d, 1, -1), block), -1, 1)
+        if nz > 1:
+            # Transpose through ICI: X-shard the grid, full Z locally.
+            d = lax.all_to_all(d, axis_name, split_axis=0, concat_axis=2,
+                               tiled=True)  # [nx/n, ny, nz]
+            d = edt_ops._parabolic_envelope_last(d, block)
+            d = lax.all_to_all(d, axis_name, split_axis=2, concat_axis=0,
+                               tiled=True)  # [nx, ny, nz/n]
+        return d
+
+    fn = shard_map(local_edt, mesh=mesh,
+                   in_specs=P(None, None, axis_name),
+                   out_specs=P(None, None, axis_name))
+    return fn(seed)
+
+
+def sharded_signed_distance(is_filled: Array, resolution: float, mesh: Mesh,
+                            axis_name: str = "z", block: int = 32) -> Array:
+    """Sharded two-field signed combine (matches
+    :func:`...ops.edt.signed_distance_from_filled_mask`)."""
+    is_filled = jnp.asarray(is_filled, dtype=bool)
+    d2_filled = sharded_squared_edt(is_filled, mesh, axis_name, block)
+    d2_free = sharded_squared_edt(~is_filled, mesh, axis_name, block)
+    res = jnp.float32(resolution)
+    return jnp.sqrt(d2_filled) * res - jnp.sqrt(d2_free) * res
+
+
+def sharded_extract_sdf(occupancy: Array, spec: GridSpec, origin_transform,
+                        mesh: Mesh, axis_name: str = "z", frame: str = "",
+                        unknown_is_filled: bool = True,
+                        oob_value: float = float("inf"),
+                        block: int = 32) -> SignedDistanceField:
+    mask = edt_ops.filled_mask_from_occupancy(occupancy, unknown_is_filled)
+    values = sharded_signed_distance(mask, spec.resolution, mesh, axis_name,
+                                     block)
+    return SignedDistanceField.create(
+        spec=spec, distances=values, origin_transform=origin_transform,
+        frame=frame, oob_value=oob_value, locked=True)
+
+
+# -- Sharded ray carving -------------------------------------------------------
+
+
+def sharded_raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
+                               cloud: voxelize_ops.PointCloud, mesh: Mesh,
+                               axis_name: str = "z",
+                               max_steps: Optional[int] = None,
+                               ray_chunk: int = 16384
+                               ) -> voxelize_ops.TrackingGrid:
+    """Carve one cloud with rays sharded across the mesh; per-device counter
+    grids are fused with a single ``psum`` (replicated output)."""
+    n_shards = mesh.shape[axis_name]
+    n_rays = cloud.points.shape[0]
+    pad = (-n_rays) % n_shards
+    points = jnp.pad(cloud.points, ((0, pad), (0, 0)),
+                     constant_values=jnp.inf)
+
+    def local_carve(local_points, origin_transform, max_range):
+        local_cloud = voxelize_ops.PointCloud(
+            points=local_points, origin_transform=origin_transform,
+            max_range=max_range)
+        grid = voxelize_ops.raycast_pointcloud(
+            spec, grid_origin_transform, local_cloud, max_steps=max_steps,
+            ray_chunk=ray_chunk)
+        return (lax.psum(grid.seen_free, axis_name),
+                lax.psum(grid.seen_filled, axis_name))
+
+    fn = shard_map(local_carve, mesh=mesh,
+                   in_specs=(P(axis_name), P(), P()),
+                   out_specs=(P(), P()))
+    free, filled = fn(points, cloud.origin_transform, cloud.max_range)
+    return voxelize_ops.TrackingGrid(free, filled)
+
+
+def sharded_voxelize_pointclouds(
+        static_environment: OccupancyMap,
+        filter_options: voxelize_ops.FilterOptions,
+        pointclouds: Sequence[voxelize_ops.PointCloud], mesh: Mesh,
+        axis_name: str = "z", max_steps: Optional[int] = None
+        ) -> OccupancyMap:
+    """Multi-device ``VoxelizePointClouds``: per-cloud sharded carving, then
+    the fusion filter on replicated tracking grids."""
+    filter_options.validate()
+    spec = static_environment.spec
+    grids = [sharded_raycast_pointcloud(
+        spec, static_environment.origin_transform, c, mesh, axis_name,
+        max_steps) for c in pointclouds]
+    if grids:
+        seen_free = jnp.stack([g.seen_free for g in grids])
+        seen_filled = jnp.stack([g.seen_filled for g in grids])
+    else:
+        seen_free = jnp.zeros((0,) + spec.counts, jnp.int32)
+        seen_filled = jnp.zeros((0,) + spec.counts, jnp.int32)
+    occupancy = voxelize_ops.combine_and_filter(
+        filter_options, seen_free, seen_filled, static_environment.occupancy)
+    return static_environment.replace(occupancy=occupancy)
+
+
+# -- Sharded rendering ---------------------------------------------------------
+
+
+def sharded_render_depth(sdf: SignedDistanceField,
+                         camera: render_ops.PinholeCamera, mesh: Mesh,
+                         axis_name: str = "z", num_steps: int = 64,
+                         max_depth: float = 100.0) -> Array:
+    """Render with pixel rows sharded across devices (grid replicated).
+    Returns the ``[H, W]`` depth image."""
+    n_shards = mesh.shape[axis_name]
+    if camera.height % n_shards:
+        raise ValueError(
+            f"camera height {camera.height} must divide {n_shards}")
+    origins, dirs = render_ops.camera_rays(camera)
+
+    def local_render(local_origins, local_dirs, distances):
+        local_sdf = sdf.replace(distances=distances)
+        result = render_ops.sphere_trace(
+            local_sdf, local_origins, local_dirs, num_steps=num_steps,
+            max_depth=max_depth)
+        return result.depth
+
+    fn = shard_map(local_render, mesh=mesh,
+                   in_specs=(P(axis_name), P(axis_name), P()),
+                   out_specs=P(axis_name))
+    return fn(origins, dirs, sdf.distances)
