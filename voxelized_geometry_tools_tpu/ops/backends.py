@@ -1,0 +1,215 @@
+"""Voxelizer backend registry and factory.
+
+Equivalent of the reference's backend discovery/selection layer
+(/root/reference/include/voxelized_geometry_tools/pointcloud_voxelization.hpp:18-68
+and src/.../pointcloud_voxelization.cpp:18-147): enumerate available
+backends, build a voxelizer for a specific one, or take the best available
+with graceful fallback. The preference order CUDA -> OpenCL -> CPU becomes
+ACCELERATOR (jax: TPU or any XLA device) -> NATIVE_CPU (multithreaded C++)
+— and every backend passes the same oracle tests (tests/test_voxelize.py),
+mirroring the reference's one-oracle-many-backends strategy.
+
+String-keyed int32 option maps are preserved (``RetrieveOptionOrDefault``,
+device_voxelization_interface.hpp:44-70): known keys are ``CPU_NUM_THREADS``
+(native backend) and ``RAY_CHUNK`` / ``MAX_STEPS`` (accelerator backend).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import transforms
+from ..core.maps import OccupancyMap
+from .voxelize import (FilterOptions, PointCloud, TrackingGrid,
+                       VoxelizerRuntime, voxelize_pointclouds)
+
+LoggingFunction = Optional[Callable[[str], None]]
+
+
+class BackendOption(enum.Enum):
+    """pointcloud_voxelization.hpp:18-21 equivalents."""
+    BEST_AVAILABLE = "best_available"
+    ACCELERATOR = "accelerator"   # jax/XLA device (TPU on hardware)
+    NATIVE_CPU = "native_cpu"     # multithreaded C++ runtime
+
+
+class AvailableBackend:
+    """pointcloud_voxelization.hpp:24-52."""
+
+    def __init__(self, device_name: str, device_options: Dict[str, int],
+                 backend_option: BackendOption):
+        self._device_name = device_name
+        self._device_options = dict(device_options)
+        self._backend_option = backend_option
+
+    def device_name(self) -> str:
+        return self._device_name
+
+    def device_options(self) -> Dict[str, int]:
+        return dict(self._device_options)
+
+    def backend_option(self) -> BackendOption:
+        return self._backend_option
+
+    def __repr__(self):
+        return (f"AvailableBackend({self._device_name!r}, "
+                f"{self._backend_option})")
+
+
+def retrieve_option_or_default(options: Dict[str, int], key: str,
+                               default: int,
+                               logging_fn: LoggingFunction = None) -> int:
+    """``RetrieveOptionOrDefault`` (device_voxelization_interface.hpp:44-70)."""
+    if key in options:
+        value = int(options[key])
+        if logging_fn:
+            logging_fn(f"Using option [{key}] with value [{value}]")
+        return value
+    if logging_fn:
+        logging_fn(f"Using default [{key}] with value [{default}]")
+    return default
+
+
+class AcceleratorPointCloudVoxelizer:
+    """XLA/TPU voxelizer built on :mod:`.voxelize` (the analogue of the
+    reference's device voxelizers, with the scatter-add carve replacing
+    atomicAdd kernels)."""
+
+    def __init__(self, options: Dict[str, int] = {},
+                 logging_fn: LoggingFunction = None):
+        self._ray_chunk = retrieve_option_or_default(
+            options, "RAY_CHUNK", 16384, logging_fn)
+        self._max_steps = retrieve_option_or_default(
+            options, "MAX_STEPS", 0, logging_fn) or None
+        self._name = jax.devices()[0].platform
+        if logging_fn:
+            logging_fn(f"AcceleratorPointCloudVoxelizer on {self._name}")
+
+    def voxelize_pointclouds(self, static_environment: OccupancyMap,
+                             filter_options: FilterOptions,
+                             pointclouds: Sequence[PointCloud],
+                             runtime_log_fn=None) -> OccupancyMap:
+        return voxelize_pointclouds(static_environment, filter_options,
+                                    list(pointclouds), runtime_log_fn,
+                                    max_steps=self._max_steps)
+
+
+class NativeCpuPointCloudVoxelizer:
+    """Native C++ voxelizer (the analogue of the reference's CPU backend,
+    cpu_pointcloud_voxelization.cpp, reimplemented in
+    native/vgt_native.cpp)."""
+
+    def __init__(self, options: Dict[str, int] = {},
+                 logging_fn: LoggingFunction = None):
+        from .. import native
+        if not native.available():
+            raise RuntimeError("native backend unavailable")
+        self._native = native
+        self._threads = retrieve_option_or_default(
+            options, "CPU_NUM_THREADS", 0, logging_fn)
+        if logging_fn:
+            logging_fn(
+                f"NativeCpuPointCloudVoxelizer with "
+                f"{self._threads or native.hardware_threads()} threads")
+
+    def voxelize_pointclouds(self, static_environment: OccupancyMap,
+                             filter_options: FilterOptions,
+                             pointclouds: Sequence[PointCloud],
+                             runtime_log_fn=None) -> OccupancyMap:
+        import time
+        filter_options.validate()
+        spec = static_environment.spec
+        X_GW = np.asarray(transforms.invert_isometry(
+            static_environment.origin_transform), np.float64)
+
+        t0 = time.monotonic()
+        frees, filleds = [], []
+        for cloud in pointclouds:
+            X_GC = X_GW @ np.asarray(cloud.origin_transform, np.float64)
+            pts = np.asarray(cloud.points, np.float64)
+            pts_grid = pts @ X_GC[:3, :3].T + X_GC[:3, 3]
+            origin = X_GC[:3, 3]
+            free, filled = self._native.raycast(
+                origin.astype(np.float32), pts_grid.astype(np.float32),
+                float(cloud.max_range), spec.counts, spec.resolution,
+                self._threads)
+            frees.append(free)
+            filleds.append(filled)
+        t1 = time.monotonic()
+
+        occupancy = np.asarray(static_environment.occupancy)
+        if frees:
+            occupancy = self._native.filter_grids(
+                np.stack(frees), np.stack(filleds), occupancy,
+                filter_options.percent_seen_free,
+                filter_options.outlier_points_threshold,
+                filter_options.num_cameras_seen_free, self._threads)
+        else:
+            occupancy = self._native.filter_grids(
+                np.zeros((0,) + spec.counts, np.int32),
+                np.zeros((0,) + spec.counts, np.int32), occupancy,
+                filter_options.percent_seen_free,
+                filter_options.outlier_points_threshold,
+                filter_options.num_cameras_seen_free, self._threads)
+        t2 = time.monotonic()
+
+        if runtime_log_fn is not None:
+            runtime_log_fn(VoxelizerRuntime(t1 - t0, t2 - t1))
+        return static_environment.replace(occupancy=jnp.asarray(occupancy))
+
+
+def get_available_backends() -> List[AvailableBackend]:
+    """``GetAvailableBackends`` (pointcloud_voxelization.cpp:18-53)."""
+    backends: List[AvailableBackend] = []
+    try:
+        device = jax.devices()[0]
+        backends.append(AvailableBackend(
+            f"accelerator ({device.platform}: {device.device_kind})", {},
+            BackendOption.ACCELERATOR))
+    except Exception:
+        pass
+    from .. import native
+    if native.available():
+        backends.append(AvailableBackend(
+            f"native_cpu ({native.hardware_threads()} threads)", {},
+            BackendOption.NATIVE_CPU))
+    return backends
+
+
+def make_pointcloud_voxelizer(backend, logging_fn: LoggingFunction = None):
+    """``MakePointCloudVoxelizer`` (pointcloud_voxelization.cpp:55-90)."""
+    if isinstance(backend, AvailableBackend):
+        option = backend.backend_option()
+        options = backend.device_options()
+    else:
+        option = backend
+        options = {}
+    if option == BackendOption.BEST_AVAILABLE:
+        return make_best_available_pointcloud_voxelizer(options, logging_fn)
+    if option == BackendOption.ACCELERATOR:
+        return AcceleratorPointCloudVoxelizer(options, logging_fn)
+    if option == BackendOption.NATIVE_CPU:
+        return NativeCpuPointCloudVoxelizer(options, logging_fn)
+    raise ValueError(f"Unknown backend option {option}")
+
+
+def make_best_available_pointcloud_voxelizer(
+        options: Dict[str, int] = {}, logging_fn: LoggingFunction = None):
+    """``MakeBestAvailablePointCloudVoxelizer`` — try in preference order
+    (pointcloud_voxelization.cpp:92-147)."""
+    for option in (BackendOption.ACCELERATOR, BackendOption.NATIVE_CPU):
+        try:
+            voxelizer = make_pointcloud_voxelizer(
+                AvailableBackend("", options, option), logging_fn)
+            if logging_fn:
+                logging_fn(f"Selected backend {option}")
+            return voxelizer
+        except Exception as e:
+            if logging_fn:
+                logging_fn(f"Backend {option} unavailable: {e}")
+    raise RuntimeError("No voxelization backend available")

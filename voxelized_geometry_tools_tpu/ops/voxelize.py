@@ -202,7 +202,10 @@ def _prepare_rays(spec: GridSpec, X_GC: Array, points: Array,
     miss0 = seed > 0.0  # all False, varying like points
     (tmin, _, miss), _ = lax.scan(slab, (tmin0, tmax0, miss0),
                                   jnp.arange(3))
-    nudge = 1e-10
+    # The reference nudges the entry point 1e-10 into the grid (cpp:287-289);
+    # that vanishes in f32 (boundary-exact entries would index out of bounds
+    # and kill the whole ray), so the nudge scales with the voxel size.
+    nudge = 1e-3 * spec.resolution
     p_entry = p_gco + direction * (tmin + nudge)[:, None]
     p_start = jnp.where(origin_in, p_gco[None, :], p_entry)
     hit = finite & (origin_in | ~miss)
