@@ -22,10 +22,15 @@ from .core.maps import (
     TaggedObjectOccupancyMap, TaggedObjectOccupancyComponentMap,
     SignedDistanceField,
 )
+from .core.dsh import (
+    DSHGridSizes, DynamicSpatialHashedOccupancyMap, FillStatus, PackedDSHMap,
+)
 
 __all__ = [
     "__version__", "GridSpec",
     "FREE", "UNKNOWN", "FILLED",
     "OccupancyMap", "OccupancyComponentMap", "TaggedObjectOccupancyMap",
     "TaggedObjectOccupancyComponentMap", "SignedDistanceField",
+    "DSHGridSizes", "DynamicSpatialHashedOccupancyMap", "FillStatus",
+    "PackedDSHMap",
 ]

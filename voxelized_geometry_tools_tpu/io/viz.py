@@ -168,3 +168,55 @@ def export_sdf_collision_only(sdf, collision_color=(1.0, 0.0, 0.0, 0.5)
 
     return export_voxel_grid(sdf.spec, sdf.origin_transform, sdf.frame,
                              color, sdf.distances)
+
+
+def export_dsh_grid(dsh_map, color_fn: Callable[[np.ndarray], np.ndarray]
+                    ) -> VoxelMarker:
+    """Chunked sparse grid exporter
+    (``ExportDynamicSpatialHashedVoxelGridToRViz``, ros_interface.hpp:
+    258-328): walks every allocated chunk, emitting grid-frame cell centers
+    for cells whose color has alpha > 0. ``color_fn`` maps a chunk's dense
+    occupancy ``[cx,cy,cz]`` to RGBA ``[cx,cy,cz,4]``."""
+    res = dsh_map.resolution
+    counts = np.asarray(dsh_map.chunk_counts, np.int64)
+    positions = []
+    colors = []
+    for region, data in dsh_map.chunk_items():
+        rgba = np.asarray(color_fn(np.asarray(data)), np.float32)
+        keep = rgba[..., 3] > 0.0
+        idx = np.argwhere(keep)
+        if idx.size == 0:
+            continue
+        base = np.asarray(region, np.int64) * counts
+        positions.append((idx + base + 0.5) * res)
+        colors.append(rgba[keep])
+    if positions:
+        positions = np.concatenate(positions, axis=0)
+        colors = np.concatenate(colors, axis=0)
+    else:
+        positions = np.zeros((0, 3), np.float64)
+        colors = np.zeros((0, 4), np.float32)
+    return VoxelMarker(
+        frame=dsh_map.frame,
+        pose=np.asarray(dsh_map.origin_transform, np.float64),
+        scale=np.full(3, res), positions=positions, colors=colors)
+
+
+def export_dsh_occupancy_for_display(
+        dsh_map, collision_color=(1.0, 0.0, 0.0, 0.5),
+        free_color=(0.0, 1.0, 0.0, 0.0),
+        unknown_color=(1.0, 1.0, 0.0, 0.0)) -> VoxelMarker:
+    """DSH occupancy coloring: occupancy > 0.5 collision, < 0.5 free,
+    == 0.5 unknown (ros_interface.cpp occupancy coloring convention)."""
+    collision = np.asarray(collision_color, np.float32)
+    free = np.asarray(free_color, np.float32)
+    unknown = np.asarray(unknown_color, np.float32)
+
+    def color(occ):
+        rgba = np.empty(occ.shape + (4,), np.float32)
+        rgba[:] = unknown
+        rgba[occ > 0.5] = collision
+        rgba[occ < 0.5] = free
+        return rgba
+
+    return export_dsh_grid(dsh_map, color)
