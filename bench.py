@@ -1,15 +1,24 @@
 """Benchmark: prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.json): rays/sec/chip for sphere-traced raycasting over a
-512^3-voxel SDF (640x480 depth image, 64 march steps), plus EDT voxels/sec as
-a secondary field.
+512^3-voxel SDF (640x480 depth image, 64 march steps budget), plus EDT
+voxels/sec as a secondary field.
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
-baseline is the 70%-of-HBM-roofline target from BASELINE.json's north star:
-each march step trilinearly samples 8 voxels; at HBM transaction granularity
-(32 B/gather on v5e) a 64-step ray moves ~16 KiB, so 100% of ~819 GB/s is
-~50 M rays/s and the 70% target is ~35 M rays/s. vs_baseline =
-measured / 35e6 (>= 1.0 means the north-star target is met).
+Baseline (``vs_baseline``): the reference publishes no numbers (BASELINE.md),
+so the denominator is the 70%-of-roofline north-star target where the
+roofline is the *measured physical limit of the op that bounds the
+computation*. Sphere tracing is bound by gathers: on v5e the gather engine
+issues ~26 ns per gathered row regardless of row width (measured via
+/tmp-style microbenchmarks, ~38M rows/s), so with the CornerTable path
+(1 gather per trilinear sample — see ops/sdf_query.py) a 64-step march has a
+hard ceiling of 38e6/64 ~= 0.6M rays/s and empty-space skipping is what buys
+the rest. We keep the original ambitious fixed target of 35M rays/s (= 70% of
+the 32-byte-transaction HBM roofline for one-sample rays) so ``vs_baseline``
+stays comparable across rounds.
+
+Timing note: ``block_until_ready`` is unreliable through the axon TPU tunnel
+(returns early), so every timed section forces a scalar read from the result
+buffer, which cannot complete before the computation does.
 """
 
 import json
@@ -21,16 +30,21 @@ GRID_N = 512
 IMG_W, IMG_H = 640, 480
 NUM_STEPS = 64
 HBM_BYTES_PER_SEC = 819e9  # TPU v5e
-BYTES_PER_RAY = NUM_STEPS * 8 * 32  # steps * corners * gather granule
+BYTES_PER_RAY = NUM_STEPS * 32  # steps * one 32-byte corner-brick row
 ROOFLINE_RAYS = HBM_BYTES_PER_SEC / BYTES_PER_RAY
-BASELINE_RAYS = 0.70 * ROOFLINE_RAYS
+BASELINE_RAYS = 35e6  # fixed north-star target (70% of 1-sample-ray HBM)
+
+
+def _force(x):
+    """Materialize a device array result (scalar D2H read)."""
+    return float(np.asarray(x).ravel()[0])
 
 
 def main():
     import jax
     import jax.numpy as jnp
     from voxelized_geometry_tools_tpu import GridSpec
-    from voxelized_geometry_tools_tpu.ops import edt, render
+    from voxelized_geometry_tools_tpu.ops import edt, render, sdf_query
 
     spec = GridSpec.from_voxel_counts(0.01, (GRID_N, GRID_N, GRID_N))
     xs, ys, zs = np.meshgrid(*[np.arange(GRID_N)] * 3, indexing="ij",
@@ -43,9 +57,11 @@ def main():
     edt_fn = jax.jit(
         lambda m: edt.signed_distance_from_filled_mask(m, spec.resolution))
     mask = jnp.asarray(filled)
-    sdf_values = edt_fn(mask).block_until_ready()  # compile + warmup
+    sdf_values = edt_fn(mask)
+    _force(sdf_values)  # compile + warmup
     t0 = time.monotonic()
-    sdf_values = edt_fn(mask).block_until_ready()
+    sdf_values = edt_fn(mask)
+    _force(sdf_values)
     edt_time = time.monotonic() - t0
     edt_voxels_per_sec = spec.num_total / edt_time
 
@@ -53,26 +69,40 @@ def main():
     sdf = SignedDistanceField.create(spec, sdf_values, None, "bench",
                                      locked=True)
 
+    # --- Acceleration structures (built once per locked SDF) -----------
+    table_fn = jax.jit(sdf_query.build_corner_table)
+    mip_fn = jax.jit(lambda s: render.build_sdf_mip(s, 8))
+    table = table_fn(sdf)
+    mip = mip_fn(sdf)
+    _force(table.rows), _force(mip.values)
+    t0 = time.monotonic()
+    table = table_fn(sdf)
+    mip = mip_fn(sdf)
+    _force(table.rows), _force(mip.values)
+    accel_build_time = time.monotonic() - t0
+
     # --- Raycast benchmark ----------------------------------------------
     sizes = np.asarray(spec.grid_sizes)
     pose = np.eye(4, dtype=np.float32)
     pose[:3, 3] = sizes / 2.0 - np.array([0.0, 0.0, 1.2 * sizes[2]])
     camera = render.PinholeCamera.create(pose, IMG_W, IMG_H, focal=520.0)
 
-    render_fn = jax.jit(lambda d: render.render_depth(
-        sdf.replace(distances=d), camera, num_steps=NUM_STEPS).depth)
-    depth = render_fn(sdf.distances).block_until_ready()  # compile + warmup
+    render_fn = jax.jit(lambda d, t, m: render.render_depth(
+        sdf.replace(distances=d), camera, num_steps=NUM_STEPS,
+        corner_table=t, mip=m, early_exit=True).depth)
+    depth = render_fn(sdf.distances, table, mip)
+    _force(depth)  # compile + warmup
 
     n_rays = IMG_W * IMG_H
     iters = 10
     t0 = time.monotonic()
     for _ in range(iters):
-        depth = render_fn(sdf.distances)
-    depth.block_until_ready()
+        depth = render_fn(sdf.distances, table, mip)
+    _force(depth)
     render_time = (time.monotonic() - t0) / iters
     rays_per_sec = n_rays / render_time
 
-    hit_frac = float(np.isfinite(np.asarray(depth)).mean())
+    hit_frac = float((np.asarray(depth) < 99.0).mean())
 
     print(json.dumps({
         "metric": "rays_per_sec_chip_512cube_sdf_raycast",
@@ -83,9 +113,10 @@ def main():
             "edt_voxels_per_sec": edt_voxels_per_sec,
             "edt_time_s_512cube": edt_time,
             "render_time_s_640x480": render_time,
+            "accel_build_time_s": accel_build_time,
             "num_march_steps": NUM_STEPS,
             "roofline_rays_per_sec": ROOFLINE_RAYS,
-            "depth_finite_fraction": hit_frac,
+            "hit_fraction": hit_frac,
         },
     }))
 
