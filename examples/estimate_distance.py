@@ -1,0 +1,92 @@
+"""Estimate-distance example: rotated grid, trilinear queries, fine gradients.
+
+TPU-native analogue of /root/reference/example/estimate_distance.cpp:42-314:
+a 10x10x1 m grid rotated 45 deg about Z with a scattering of filled cells,
+SDF extraction, then a dense sweep of `EstimateLocationDistance` queries over
+cell centers and subsampled points plus `GetLocationFineGradient` checks —
+batched in one vmapped call instead of the reference's per-point loops.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import voxelized_geometry_tools_tpu as vgt
+from voxelized_geometry_tools_tpu.core import transforms
+from voxelized_geometry_tools_tpu.ops import edt, sdf_query
+from voxelized_geometry_tools_tpu.io import viz
+
+
+def make_origin() -> np.ndarray:
+    angle = np.pi / 4.0
+    origin = np.eye(4, dtype=np.float32)
+    origin[0, 0] = np.cos(angle)
+    origin[0, 1] = -np.sin(angle)
+    origin[1, 0] = np.sin(angle)
+    origin[1, 1] = np.cos(angle)
+    return origin
+
+
+FILLED_LOCATIONS_GRID = [
+    (5.0, 5.0, 0.0), (5.0, 6.0, 0.0), (6.0, 5.0, 0.0), (6.0, 6.0, 0.0),
+    (7.0, 7.0, 0.0), (2.0, 2.0, 0.0), (3.0, 2.0, 0.0), (4.0, 2.0, 0.0),
+    (2.0, 3.0, 0.0), (2.0, 4.0, 0.0), (2.0, 7.0, 0.0),
+]  # estimate_distance.cpp:59-80 (grid-frame locations)
+
+
+def main():
+    resolution = 1.0
+    spec = vgt.GridSpec.from_grid_sizes(resolution, (10.0, 10.0, 1.0))
+    origin = make_origin()
+    omap = vgt.OccupancyMap.create(spec, origin, "world")
+
+    occ = np.zeros(spec.counts, np.float32)
+    for p_grid in FILLED_LOCATIONS_GRID:
+        idx = np.floor(np.asarray(p_grid) / resolution).astype(int)
+        occ[tuple(idx)] = 1.0
+    omap = omap.replace(occupancy=jnp.asarray(occ))
+
+    sdf = edt.extract_sdf_from_occupancy(
+        omap.occupancy, spec, omap.origin_transform, frame="world",
+        oob_value=1e6, unknown_is_filled=True, add_virtual_border=False)
+    sdf_marker = viz.export_sdf_for_display(sdf, alpha=0.05)
+    print(f"SDF display: {sdf_marker.num_cells} cells")
+
+    # Distance estimates over every cell center (cpp:125-155), one batch.
+    n = spec.num_total
+    all_indices = sdf.spec.unflatten_index(jnp.arange(n, dtype=jnp.int32))
+    centers = sdf.grid_index_to_location(all_indices)
+    q = sdf_query.estimate_location_distance(sdf, centers)
+    print(f"Estimated distance at {n} cell centers: "
+          f"min {float(jnp.nanmin(q.value)):.4f}, "
+          f"max {float(jnp.nanmax(q.value)):.4f}")
+
+    # Subsampled interior points (cpp:157-195): 4 per axis per cell.
+    offsets = (np.arange(4) + 0.5) / 4.0 - 0.5  # within-cell offsets
+    ox, oy, oz = np.meshgrid(offsets, offsets, [0.0], indexing="ij")
+    sub = np.stack([ox, oy, oz], axis=-1).reshape(-1, 3) * resolution
+    pts = centers[:, None, :] + jnp.asarray(sub, jnp.float32)[None, :, :]
+    q_sub = sdf_query.estimate_location_distance(sdf, pts)
+    print(f"Subsampled queries: {int(q_sub.valid.sum())} valid of "
+          f"{q_sub.value.size}")
+
+    # Fine gradients at every cell center (cpp:197-260).
+    g = sdf_query.get_location_fine_gradient(
+        sdf, centers, nominal_window_size=resolution * 0.125)
+    norms = jnp.linalg.norm(jnp.where(g.valid[..., None], g.gradient, 0.0),
+                            axis=-1)
+    print(f"Fine gradients: {int(g.valid.sum())} valid, "
+          f"mean |grad| {float(norms.sum() / g.valid.sum()):.4f}")
+
+    # Spot-check a world-frame query point (the reference prints per-point
+    # values; we validate the transform round-trip instead).
+    p_grid = jnp.asarray([5.5, 5.5, 0.5], jnp.float32)
+    p_world = transforms.apply_isometry(sdf.origin_transform, p_grid)
+    q_world = sdf_query.estimate_location_distance(sdf, p_world)
+    print(f"Query at grid (5.5,5.5,0.5) -> world {np.asarray(p_world)}: "
+          f"distance {float(q_world.value):.4f} (inside the 2x2 block: "
+          f"negative expected)")
+    print("...done")
+
+
+if __name__ == "__main__":
+    main()
