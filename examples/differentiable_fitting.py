@@ -37,7 +37,7 @@ def make_box_mesh(lo, hi):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--resolution", type=float, default=0.05)
-    parser.add_argument("--iters", type=int, default=40)
+    parser.add_argument("--iters", type=int, default=100)
     args = parser.parse_args()
 
     # Mesh -> occupancy map (auto-sized from the AABB + 1-voxel buffer,

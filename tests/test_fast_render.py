@@ -1,0 +1,145 @@
+"""Tests for the render/query acceleration structures.
+
+The CornerTable and SdfMip fast paths must be exact (CornerTable) or
+hit-equivalent (mip skip + chunked tail) against the reference-semantics
+slow path, including gradients.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voxelized_geometry_tools_tpu import GridSpec
+from voxelized_geometry_tools_tpu.ops import edt, render, sdf_query
+
+
+@pytest.fixture(scope="module")
+def sphere_sdf():
+    n = 40
+    spec = GridSpec.from_voxel_counts(0.05, (n, n, 24))
+    xs, ys, zs = np.meshgrid(np.arange(n), np.arange(n), np.arange(24),
+                             indexing="ij", sparse=True)
+    filled = ((xs - 20) ** 2 + (ys - 20) ** 2 + (zs - 12) ** 2) <= 81
+    return edt.extract_signed_distance_field(
+        jnp.asarray(filled), spec, None, frame="t")
+
+
+@pytest.fixture(scope="module")
+def corner_table(sphere_sdf):
+    return sdf_query.build_corner_table(sphere_sdf)
+
+
+def test_corner_table_exact_match(sphere_sdf, corner_table):
+    """Fast path must match the 8-gather path to float ulp level (the two
+    programs reassociate the same arithmetic) on every region: interior,
+    edge extrapolation, and out-of-bounds."""
+    rng = np.random.default_rng(0)
+    hi = np.asarray(sphere_sdf.spec.grid_sizes)
+    pts = rng.uniform(-0.3, 1.0, size=(5000, 3)) * (hi + 0.6) - 0.3
+    pts = jnp.asarray(pts, jnp.float32)
+    slow = sdf_query.estimate_location_distance(sphere_sdf, pts)
+    fast = sdf_query.estimate_location_distance_fast(
+        sphere_sdf, corner_table, pts)
+    np.testing.assert_array_equal(np.asarray(slow.valid),
+                                  np.asarray(fast.valid))
+    m = np.asarray(slow.valid)
+    np.testing.assert_allclose(np.asarray(slow.value)[m],
+                               np.asarray(fast.value)[m], rtol=0, atol=1e-6)
+
+
+def test_corner_table_nonfinite_points(sphere_sdf, corner_table):
+    pts = jnp.asarray([[np.nan, 0.1, 0.1], [np.inf, 0.1, 0.1],
+                       [0.1, 0.1, 0.1]], jnp.float32)
+    q = sdf_query.estimate_location_distance_fast(sphere_sdf, corner_table,
+                                                  pts)
+    assert not bool(q.valid[0]) and not bool(q.valid[1])
+    assert bool(q.valid[2])
+
+
+def test_corner_table_gradients_match(sphere_sdf):
+    pts = jnp.asarray(np.random.default_rng(1).uniform(
+        0.2, 1.0, size=(64, 3)), jnp.float32)
+
+    def loss_slow(d):
+        s = sphere_sdf.replace(distances=d)
+        return jnp.nansum(sdf_query.estimate_location_distance(s, pts).value)
+
+    def loss_fast(d):
+        s = sphere_sdf.replace(distances=d)
+        t = sdf_query.build_corner_table(s)
+        return jnp.nansum(
+            sdf_query.estimate_location_distance_fast(s, t, pts).value)
+
+    g_slow = jax.grad(loss_slow)(sphere_sdf.distances)
+    g_fast = jax.grad(loss_fast)(sphere_sdf.distances)
+    np.testing.assert_allclose(np.asarray(g_slow), np.asarray(g_fast),
+                               atol=1e-5)
+
+
+def _camera(sdf, w=48, h=36):
+    sizes = np.asarray(sdf.spec.grid_sizes)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = sizes / 2.0 - np.array([0.0, 0.0, 1.5 * sizes[2]])
+    return render.PinholeCamera.create(pose, w, h, focal=45.0)
+
+
+def test_fast_render_matches_slow(sphere_sdf, corner_table):
+    cam = _camera(sphere_sdf)
+    base = render.render_depth(sphere_sdf, cam, num_steps=64)
+    fast = render.render_depth(sphere_sdf, cam, num_steps=64,
+                               corner_table=corner_table)
+    np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(fast.hit))
+    np.testing.assert_allclose(np.asarray(base.depth),
+                               np.asarray(fast.depth), atol=1e-5)
+
+
+@pytest.mark.parametrize("factor", [4, 8])
+def test_mip_skip_hit_equivalence(sphere_sdf, corner_table, factor):
+    """Mip skipping + early exit + chunked tail must find the same surface."""
+    cam = _camera(sphere_sdf)
+    mip = render.build_sdf_mip(sphere_sdf, factor)
+    base = render.render_depth(sphere_sdf, cam, num_steps=64)
+    fast = render.render_depth(sphere_sdf, cam, num_steps=64,
+                               corner_table=corner_table, early_exit=True,
+                               mip=mip)
+    assert float((np.asarray(base.hit) == np.asarray(fast.hit)).mean()) == 1.0
+    m = np.asarray(base.hit)
+    np.testing.assert_allclose(np.asarray(base.depth)[m],
+                               np.asarray(fast.depth)[m],
+                               atol=2 * sphere_sdf.spec.resolution)
+
+
+def test_mip_lower_bound_property(sphere_sdf):
+    """Every mip entry must lower-bound the SDF anywhere in its block."""
+    mip = render.build_sdf_mip(sphere_sdf, 4)
+    d = np.asarray(sphere_sdf.distances)
+    vals = np.asarray(mip.values).reshape(mip.coarse_counts)
+    nx, ny, nz = d.shape
+    f = mip.factor
+    for _ in range(200):
+        rng = np.random.default_rng(3)
+        i, j, k = (np.random.randint(0, nx), np.random.randint(0, ny),
+                   np.random.randint(0, nz))
+        assert vals[i // f, j // f, k // f] <= d[i, j, k] + 1e-6
+
+
+def test_mip_jits_and_is_pytree(sphere_sdf):
+    mip = jax.jit(lambda s: render.build_sdf_mip(s, 8))(sphere_sdf)
+    leaves = jax.tree_util.tree_leaves(mip)
+    assert any(l.size > 1 for l in leaves if hasattr(l, "size"))
+
+
+def test_chunked_tail_scatter_roundtrip(sphere_sdf, corner_table):
+    """Tail chunking must not permute results (scatter-back correctness):
+    compare against the same config with chunking disabled."""
+    cam = _camera(sphere_sdf, w=37, h=23)  # non-divisible sizes stress pad
+    mip = render.build_sdf_mip(sphere_sdf, 8)
+    chunked = render.render_depth(sphere_sdf, cam, num_steps=64,
+                                  corner_table=corner_table, early_exit=True,
+                                  mip=mip)
+    whole = render.sphere_trace(
+        sphere_sdf, *render.camera_rays(cam), num_steps=64,
+        corner_table=corner_table, early_exit=True, mip=mip, tail_chunks=1)
+    np.testing.assert_allclose(np.asarray(chunked.depth),
+                               np.asarray(whole.depth), atol=1e-5)

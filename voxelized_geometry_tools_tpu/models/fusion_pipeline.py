@@ -125,8 +125,8 @@ class PoseFitResult:
 
 
 def fit_camera_pose(sdf: SignedDistanceField, base_camera: render.PinholeCamera,
-                    target_depth: Array, num_iters: int = 50,
-                    learning_rate: float = 3e-3, num_steps: int = 48,
+                    target_depth: Array, num_iters: int = 100,
+                    learning_rate: float = 1e-2, num_steps: int = 48,
                     max_depth: float = 100.0) -> PoseFitResult:
     """Gradient-descent camera pose fit against a target depth image — the
     north star's "pose-gradient descent convergence" benchmark: pixel

@@ -302,13 +302,18 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             stop_s = flat_pad(jnp.broadcast_to(t_stop, batch_shape),
                               0.0)[order]
 
-            t_parts = []
-            for ci in range(k):
-                sl = slice(ci * chunk, (ci + 1) * chunk)
-                t_c, _ = march_while(t_s[sl], alive_s[sl], o_s[sl], d_s[sl],
-                                     stop_s[sl], remaining)
-                t_parts.append(t_c)
-            t_sorted = jnp.concatenate(t_parts)
+            def march_chunk(args):
+                t_c, alive_c, o_c, d_c, stop_c = args
+                t_out, _ = march_while(t_c, alive_c, o_c, d_c, stop_c,
+                                       remaining)
+                return t_out
+
+            # lax.map compiles the chunk body once and runs chunks
+            # sequentially — all-dead chunks cost a single alive check.
+            t_sorted = lax.map(march_chunk, (
+                t_s.reshape(k, chunk), alive_s.reshape(k, chunk),
+                o_s.reshape(k, chunk, 3), d_s.reshape(k, chunk, 3),
+                stop_s.reshape(k, chunk))).reshape(-1)
             t_final = jnp.zeros(n + pad, t_final.dtype).at[order].set(
                 t_sorted)[:n].reshape(batch_shape)
     else:
@@ -339,16 +344,18 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                  surface_threshold: Optional[float] = None,
                  corner_table: Optional[sdf_query.CornerTable] = None,
                  early_exit: bool = False,
-                 mip: Optional[SdfMip] = None) -> RenderResult:
+                 mip: Optional[SdfMip] = None,
+                 **trace_kwargs) -> RenderResult:
     """Render an ``[H, W]`` depth image (differentiable in ``sdf.distances``
     and ``camera.pose``). See :func:`sphere_trace` for the performance
-    knobs ``corner_table`` / ``early_exit`` / ``mip``."""
+    knobs ``corner_table`` / ``early_exit`` / ``mip`` (plus ``coarse_steps``
+    / ``head_steps`` / ``tail_chunks`` forwarded via kwargs)."""
     origins, dirs = camera_rays(camera)
     return sphere_trace(sdf, origins, dirs, num_steps=num_steps,
                         max_depth=max_depth,
                         surface_threshold=surface_threshold,
                         corner_table=corner_table, early_exit=early_exit,
-                        mip=mip)
+                        mip=mip, **trace_kwargs)
 
 
 def render_occupancy_image(sdf: SignedDistanceField, camera: PinholeCamera,
