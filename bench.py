@@ -36,8 +36,10 @@ BASELINE_RAYS = 35e6  # fixed north-star target (70% of 1-sample-ray HBM)
 
 
 def _force(x):
-    """Materialize a device array result (scalar D2H read)."""
-    return float(np.asarray(x).ravel()[0])
+    """Materialize a device array result: slice ONE element on-device and
+    read it back (4-byte D2H). Never np.asarray the full array — through a
+    tunneled runtime that transfers gigabytes at tens of MB/s."""
+    return float(x[(0,) * x.ndim])
 
 
 def main():

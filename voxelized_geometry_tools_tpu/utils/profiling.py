@@ -31,8 +31,11 @@ def force_materialize(*values) -> None:
     import jax
     for v in values:
         for leaf in jax.tree_util.tree_leaves(v):
-            if hasattr(leaf, "ravel"):
-                np.asarray(leaf).ravel()[:1]
+            if hasattr(leaf, "ndim"):
+                # Slice ONE element on-device, then read it (4-byte D2H);
+                # np.asarray(full array) would ship the whole buffer over
+                # the wire on tunneled runtimes.
+                np.asarray(leaf[(0,) * leaf.ndim])
 
 
 class PhaseTimer:
