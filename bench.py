@@ -71,16 +71,17 @@ def main():
     sdf = SignedDistanceField.create(spec, sdf_values, None, "bench",
                                      locked=True)
 
-    # --- Acceleration structures (built once per locked SDF) -----------
+    # --- Acceleration structure (built once per locked SDF) ------------
+    # No mip: an exact SDF already self-skips empty space (sphere-trace
+    # steps equal the true distance), so the coarse phase only adds gather
+    # cost — measured slower on this scene. Mip stays available for
+    # truncated/occupancy-derived fields.
     table_fn = jax.jit(sdf_query.build_corner_table)
-    mip_fn = jax.jit(lambda s: render.build_sdf_mip(s, 8))
     table = table_fn(sdf)
-    mip = mip_fn(sdf)
-    _force(table.rows), _force(mip.values)
+    _force(table.rows)
     t0 = time.monotonic()
     table = table_fn(sdf)
-    mip = mip_fn(sdf)
-    _force(table.rows), _force(mip.values)
+    _force(table.rows)
     accel_build_time = time.monotonic() - t0
 
     # --- Raycast benchmark ----------------------------------------------
@@ -89,17 +90,17 @@ def main():
     pose[:3, 3] = sizes / 2.0 - np.array([0.0, 0.0, 1.2 * sizes[2]])
     camera = render.PinholeCamera.create(pose, IMG_W, IMG_H, focal=520.0)
 
-    render_fn = jax.jit(lambda d, t, m: render.render_depth(
+    render_fn = jax.jit(lambda d, t: render.render_depth(
         sdf.replace(distances=d), camera, num_steps=NUM_STEPS,
-        corner_table=t, mip=m, early_exit=True).depth)
-    depth = render_fn(sdf.distances, table, mip)
+        corner_table=t, early_exit=True).depth)
+    depth = render_fn(sdf.distances, table)
     _force(depth)  # compile + warmup
 
     n_rays = IMG_W * IMG_H
     iters = 10
     t0 = time.monotonic()
     for _ in range(iters):
-        depth = render_fn(sdf.distances, table, mip)
+        depth = render_fn(sdf.distances, table)
     _force(depth)
     render_time = (time.monotonic() - t0) / iters
     rays_per_sec = n_rays / render_time

@@ -64,13 +64,15 @@ def _binary_squared_dist_last(seed: Array) -> Array:
     return jnp.minimum(d_left, d_right)
 
 
-def _parabolic_envelope_last(f: Array, block: int = 32) -> Array:
+def _parabolic_envelope_last(f: Array, block: int = 512) -> Array:
     """Exact 1-D squared-distance transform along the last axis.
 
     Computes ``d[q] = min_k (q-k)^2 + f[k]`` (Felzenszwalb & Huttenlocher
     2012, as in signed_distance_field_generation.cpp:124-226) as a blocked
     min-plus reduction. ``k`` is processed in tiles of ``block`` so each scan
-    step is a large fused VPU op over the whole grid.
+    step is a large fused VPU op over the whole grid; measured on v5e the
+    largest block (fewest scan steps, deepest fusion) is fastest — 512 beats
+    32 by 2.3x at 512^3 — so the default covers a whole 512-line per step.
     """
     n = f.shape[-1]
     q = jnp.arange(n, dtype=jnp.float32)
@@ -99,7 +101,7 @@ def _parabolic_envelope_last(f: Array, block: int = 32) -> Array:
     return d
 
 
-def squared_edt(seed: Array, block: int = 32) -> Array:
+def squared_edt(seed: Array, block: int = 512) -> Array:
     """Exact squared Euclidean distance (voxel units) to nearest True voxel.
 
     Equivalent of seeding ``{0, +inf}`` and running
@@ -122,7 +124,7 @@ def squared_edt(seed: Array, block: int = 32) -> Array:
 
 
 def signed_distance_from_filled_mask(is_filled: Array, resolution: float,
-                                     block: int = 32) -> Array:
+                                     block: int = 512) -> Array:
     """Two-field signed combine: ``sqrt(d2_filled) - sqrt(d2_free)`` scaled by
     resolution (signed_distance_field_generation.hpp:85-108). Negative inside
     filled space, positive outside; ``+/-inf`` for fully empty/filled grids."""
@@ -140,7 +142,7 @@ def _pad_axis_flags(counts: Tuple[int, int, int]):
 
 
 def signed_distance_with_virtual_border(is_filled: Array, resolution: float,
-                                        block: int = 32) -> Array:
+                                        block: int = 512) -> Array:
     """``AddVirtualBorder`` variant (hpp:115-285): synthesize a 1-voxel border,
     compute a "free" SDF (border filled) and a "filled" SDF (border free) on
     the enlarged grid, crop, and merge."""
@@ -177,7 +179,7 @@ def filled_mask_from_occupancy(occupancy: Array,
 @functools.partial(jax.jit, static_argnames=("add_virtual_border", "block"))
 def _sdf_values_from_mask(is_filled: Array, resolution: float,
                           add_virtual_border: bool = False,
-                          block: int = 32) -> Array:
+                          block: int = 512) -> Array:
     if add_virtual_border:
         return signed_distance_with_virtual_border(is_filled, resolution,
                                                    block)
@@ -191,7 +193,7 @@ def extract_signed_distance_field(
         frame: str = "",
         oob_value: float = float("inf"),
         add_virtual_border: bool = False,
-        block: int = 32) -> SignedDistanceField:
+        block: int = 512) -> SignedDistanceField:
     """Full SDF-generation entry point over a filled-voxel mask.
 
     Functional analogue of
@@ -216,7 +218,7 @@ def extract_sdf_from_occupancy(
         oob_value: float = float("inf"),
         unknown_is_filled: bool = True,
         add_virtual_border: bool = False,
-        block: int = 32) -> SignedDistanceField:
+        block: int = 512) -> SignedDistanceField:
     """SDF from an occupancy channel (``OccupancyMap::ExtractSignedDistanceField``,
     occupancy_map.hpp:174-210)."""
     mask = filled_mask_from_occupancy(occupancy, unknown_is_filled)

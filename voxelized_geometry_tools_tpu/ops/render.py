@@ -160,7 +160,7 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  early_exit: bool = False,
                  mip: Optional[SdfMip] = None,
                  coarse_steps: int = 64,
-                 head_steps: int = 12,
+                 head_steps: int = 8,
                  tail_chunks: int = 8) -> RenderResult:
     """Sphere-trace rays through an SDF grid.
 
