@@ -86,3 +86,21 @@ def test_sharded_voxelize_pipeline(mesh8):
         env, voxelize.FilterOptions(), [cloud], mesh8)
     np.testing.assert_array_equal(np.asarray(single.occupancy),
                                   np.asarray(multi.occupancy))
+
+
+def test_sharded_render_fast_path_matches(mesh8):
+    from voxelized_geometry_tools_tpu.ops import sdf_query
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    table = sdf_query.build_corner_table(sdf)
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    camera = render.PinholeCamera.create(pose, width=24, height=16, focal=20.0)
+
+    single = render.render_depth(sdf, camera, num_steps=32).depth
+    multi = sharded.sharded_render_depth(
+        sdf, camera, mesh8, num_steps=32, corner_table=table,
+        early_exit=True)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-5)

@@ -163,23 +163,43 @@ def sharded_voxelize_pointclouds(
 def sharded_render_depth(sdf: SignedDistanceField,
                          camera: render_ops.PinholeCamera, mesh: Mesh,
                          axis_name: str = "z", num_steps: int = 64,
-                         max_depth: float = 100.0) -> Array:
+                         max_depth: float = 100.0,
+                         corner_table=None,
+                         early_exit: bool = False) -> Array:
     """Render with pixel rows sharded across devices (grid replicated).
-    Returns the ``[H, W]`` depth image."""
+    Returns the ``[H, W]`` depth image.
+
+    ``corner_table`` / ``early_exit`` are the single-chip fast-path knobs
+    (ops/render.py); the table is replicated alongside the grid — gathers
+    want device-local data, and each shard's early-exit wave length adapts
+    to ITS pixels only (silhouette-heavy shards no longer stall the rest,
+    the multi-chip analogue of the chunked-tail march)."""
     n_shards = mesh.shape[axis_name]
     if camera.height % n_shards:
         raise ValueError(
             f"camera height {camera.height} must divide {n_shards}")
     origins, dirs = render_ops.camera_rays(camera)
 
-    def local_render(local_origins, local_dirs, distances):
+    table_rows = corner_table.rows if corner_table is not None else None
+
+    def local_render(local_origins, local_dirs, distances, rows):
         local_sdf = sdf.replace(distances=distances)
+        table = None
+        if rows is not None:
+            from ..ops.sdf_query import CornerTable
+            table = CornerTable(rows=rows)
         result = render_ops.sphere_trace(
             local_sdf, local_origins, local_dirs, num_steps=num_steps,
-            max_depth=max_depth)
+            max_depth=max_depth, corner_table=table, early_exit=early_exit)
         return result.depth
 
+    if table_rows is None:
+        fn = shard_map(
+            functools.partial(local_render, rows=None), mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P()),
+            out_specs=P(axis_name))
+        return fn(origins, dirs, sdf.distances)
     fn = shard_map(local_render, mesh=mesh,
-                   in_specs=(P(axis_name), P(axis_name), P()),
+                   in_specs=(P(axis_name), P(axis_name), P(), P()),
                    out_specs=P(axis_name))
-    return fn(origins, dirs, sdf.distances)
+    return fn(origins, dirs, sdf.distances, table_rows)
