@@ -174,3 +174,23 @@ def test_viz_exports():
     coll_marker = viz.export_sdf_collision_only(sdf)
     assert coll_marker.num_cells == int(
         (np.asarray(sdf.distances) <= 0.0).sum())
+
+
+def test_export_voxel_grid_indices_and_index_map():
+    from voxelized_geometry_tools_tpu.io import viz
+    from voxelized_geometry_tools_tpu import GridSpec
+    import numpy as np
+    spec = GridSpec.from_voxel_counts(0.5, (4, 4, 4))
+    origin = np.eye(4)
+    m = viz.export_voxel_grid_indices(
+        spec, origin, "f", [(0, 0, 0), (3, 3, 3)], (1.0, 0.0, 0.0, 0.5))
+    assert m.num_cells == 2
+    np.testing.assert_allclose(m.positions[0], (0.25, 0.25, 0.25))
+    np.testing.assert_allclose(m.positions[1], (1.75, 1.75, 1.75))
+
+    imap = {(1, 2, 3): (0.0, 1.0, 0.0, 1.0), (0, 0, 0): (0, 0, 0, 0.0)}
+    m2 = viz.export_voxel_grid_index_map(spec, origin, "f", imap)
+    assert m2.num_cells == 1  # zero-alpha dropped
+    np.testing.assert_allclose(m2.positions[0], (0.75, 1.25, 1.75))
+    m3 = viz.export_voxel_grid_index_map(spec, origin, "f", {})
+    assert m3.num_cells == 0

@@ -104,3 +104,18 @@ def test_sharded_render_fast_path_matches(mesh8):
         early_exit=True)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
                                atol=1e-5)
+
+
+def test_grid_sharded_render_matches_single_device(mesh8):
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    camera = render.PinholeCamera.create(pose, width=24, height=16, focal=20.0)
+
+    single = render.render_depth(sdf, camera, num_steps=32).depth
+    multi = sharded.sharded_render_depth_grid_sharded(
+        sdf, camera, mesh8, num_steps=32)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-4)

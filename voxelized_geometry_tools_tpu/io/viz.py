@@ -220,3 +220,37 @@ def export_dsh_occupancy_for_display(
         return rgba
 
     return export_dsh_grid(dsh_map, color)
+
+
+def export_voxel_grid_indices(spec, origin_transform, frame: str,
+                              indices, color) -> VoxelMarker:
+    """Single-color marker for an explicit index list
+    (``ExportVoxelGridIndicesToRViz``, ros_interface.hpp:212-256)."""
+    idx = np.asarray(indices, np.int64).reshape(-1, 3)
+    rgba = np.broadcast_to(np.asarray(color, np.float32), (idx.shape[0], 4))
+    keep = rgba[:, 3] > 0.0
+    res = spec.resolution
+    return VoxelMarker(
+        frame=frame, pose=np.asarray(origin_transform, np.float64),
+        scale=np.full(3, res),
+        positions=(idx[keep].astype(np.float64) + 0.5) * res,
+        colors=np.ascontiguousarray(rgba[keep]))
+
+
+def export_voxel_grid_index_map(spec, origin_transform, frame: str,
+                                index_color_map) -> VoxelMarker:
+    """Per-index-color marker for a ``{(x, y, z): rgba}`` mapping
+    (``ExportVoxelGridIndexMapToRViz``, ros_interface.hpp:150-210)."""
+    if index_color_map:
+        idx = np.asarray(list(index_color_map.keys()), np.int64)
+        rgba = np.asarray(list(index_color_map.values()), np.float32)
+    else:
+        idx = np.zeros((0, 3), np.int64)
+        rgba = np.zeros((0, 4), np.float32)
+    keep = rgba[:, 3] > 0.0 if rgba.size else np.zeros(0, bool)
+    res = spec.resolution
+    return VoxelMarker(
+        frame=frame, pose=np.asarray(origin_transform, np.float64),
+        scale=np.full(3, res),
+        positions=(idx[keep].astype(np.float64) + 0.5) * res,
+        colors=np.ascontiguousarray(rgba[keep]))

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 shard_map = jax.shard_map
 
+from ..core import transforms
 from ..core.grid import GridSpec
 from ..core.maps import OccupancyMap, SignedDistanceField
 from ..ops import edt as edt_ops
@@ -203,3 +204,124 @@ def sharded_render_depth(sdf: SignedDistanceField,
                    in_specs=(P(axis_name), P(axis_name), P(), P()),
                    out_specs=P(axis_name))
     return fn(origins, dirs, sdf.distances, table_rows)
+
+
+def sharded_render_depth_grid_sharded(
+        sdf: SignedDistanceField, camera: render_ops.PinholeCamera,
+        mesh: Mesh, axis_name: str = "z", num_steps: int = 64,
+        max_depth: float = 100.0,
+        surface_threshold: Optional[float] = None) -> Array:
+    """Render with the GRID Z-slab sharded (for grids too big for one chip);
+    rays are replicated.
+
+    Each device holds ``[nx, ny, nz/K]`` plus ONE halo plane from its +z
+    neighbor (``ppermute``), enough for any trilinear stencil whose base cell
+    lies in its slab. Per march step every device samples only the rays whose
+    stencil it owns and a ``psum`` assembles the full sample vector — each
+    base cell has exactly one owner, so the masked sum IS the value. This is
+    the sphere-tracing analogue of halo-exchange stencils: jumps are
+    arbitrary-length so samples route by reduction rather than
+    neighbor-handoff (which only suits unit-step DDA walks).
+
+    Equals the single-device render up to float reassociation. Inference
+    path (``while_loop``).
+    """
+    spec = sdf.spec
+    n_shards = mesh.shape[axis_name]
+    nx, ny, nz = spec.counts
+    if nz % n_shards:
+        raise ValueError(f"nz ({nz}) must divide {n_shards} shards")
+    lz = nz // n_shards
+    res = jnp.float32(spec.resolution)
+    if surface_threshold is None:
+        surface_threshold = 0.25 * spec.resolution
+    thresh = jnp.float32(surface_threshold)
+    eps = jnp.float32(1e-3 * spec.resolution)
+
+    origins, dirs = render_ops.camera_rays(camera)
+    t_enter, t_exit, hits_grid = render_ops._clip_to_grid(sdf, origins, dirs)
+    t0 = jnp.where(hits_grid, t_enter + eps, jnp.float32(max_depth))
+    t_stop = jnp.minimum(t_exit, jnp.float32(max_depth))
+    inv = sdf.inverse_origin_transform()
+
+    counts_i = jnp.asarray(spec.counts, jnp.int32)
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def local_render(local_d):
+        local_d = local_d  # [nx, ny, lz]
+        shard = lax.axis_index(axis_name)
+        z_lo = shard * lz
+        # +z halo plane from the next shard (the last shard's halo is unused:
+        # base cells there are clamped to nz-2, owned by the last shard with
+        # its own planes; a zero plane keeps shapes static).
+        halo = lax.ppermute(local_d[:, :, :1], axis_name, perm)
+        ext = jnp.concatenate([local_d, halo], axis=2)  # [nx, ny, lz + 1]
+
+        half = res * 0.5
+        corrected = jnp.where(ext >= 0.0, ext - half, ext + half)
+
+        def sample(pos):
+            p = pos.reshape(-1, 3)
+            p_grid = transforms.apply_isometry(inv, p)
+            finite = jnp.all(jnp.isfinite(p), axis=-1)
+            index = spec.location_in_grid_frame_to_grid_index(
+                jnp.where(finite[:, None], p_grid, 0.0))
+            valid = finite & spec.check_grid_index_in_bounds(index)
+            s = jnp.where(finite[:, None], p_grid, 0.0) / res - 0.5
+            b = jnp.clip(jnp.floor(s).astype(jnp.int32), 0,
+                         jnp.maximum(counts_i - 2, 0))
+            t = s - b.astype(jnp.float32)
+            mine = (b[:, 2] >= z_lo) & (b[:, 2] < z_lo + lz)
+            bz = jnp.where(mine, b[:, 2] - z_lo, 0)
+            bx = b[:, 0]
+            by = b[:, 1]
+            bx1 = jnp.minimum(bx + 1, nx - 1)
+            by1 = jnp.minimum(by + 1, ny - 1)
+            bz1 = bz + 1  # halo plane covers the slab's top stencil
+
+            def corner(ix, iy, iz):
+                return corrected[ix, iy, iz]
+
+            tx = t[:, 0]
+            ty = t[:, 1]
+            tz = t[:, 2]
+            c00 = corner(bx, by, bz) * (1 - tx) + corner(bx1, by, bz) * tx
+            c10 = corner(bx, by1, bz) * (1 - tx) + corner(bx1, by1, bz) * tx
+            c01 = corner(bx, by, bz1) * (1 - tx) + corner(bx1, by, bz1) * tx
+            c11 = corner(bx, by1, bz1) * (1 - tx) + corner(bx1, by1, bz1) * tx
+            c0 = c00 * (1 - ty) + c10 * ty
+            c1 = c01 * (1 - ty) + c11 * ty
+            value = c0 * (1 - tz) + c1 * tz
+            value = lax.psum(jnp.where(mine, value, 0.0), axis_name)
+            return value.reshape(pos.shape[:-1]), valid.reshape(
+                pos.shape[:-1])
+
+        def cond(carry):
+            i, _, alive = carry
+            return (i < num_steps) & (lax.psum(
+                jnp.sum(alive.astype(jnp.int32)), axis_name) > 0)
+
+        def body(carry):
+            i, t, alive = carry
+            pos = origins + dirs * t[..., None]
+            d, valid = sample(pos)
+            d = jnp.where(valid, d, thresh)
+            converged = valid & (d <= thresh)
+            new_t = jnp.where(alive & ~converged,
+                              t + jnp.maximum(d, eps), t)
+            new_alive = alive & ~converged & (new_t < t_stop)
+            return i + 1, new_t, new_alive
+
+        _, t_final, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), t0, hits_grid))
+
+        points = origins + dirs * t_final[..., None]
+        final_d, valid = sample(points)
+        final_d = jnp.where(valid, final_d, jnp.inf)
+        hit = hits_grid & valid & (final_d <= thresh * 2.0)
+        refined = t_final + jnp.where(hit, final_d, 0.0)
+        return jnp.where(hit, refined, jnp.float32(max_depth))
+
+    fn = shard_map(local_render, mesh=mesh,
+                   in_specs=P(None, None, axis_name), out_specs=P())
+    return fn(sdf.distances)
