@@ -1,0 +1,73 @@
+"""Cell-level get/set accessors (the reference's VoxelGridBase OO surface:
+GetIndexImmutable / SetIndex / GetLocationImmutable / SetLocation, batched
+and functional)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxelized_geometry_tools_tpu import (
+    GridSpec, OccupancyComponentMap, OccupancyMap, SignedDistanceField,
+    TaggedObjectOccupancyMap)
+
+
+def make_map():
+    spec = GridSpec.from_voxel_counts(0.5, (4, 5, 6))
+    return OccupancyMap.create(spec, None, "f")
+
+
+def test_get_set_index_roundtrip():
+    m = make_map()
+    idx = jnp.asarray([[1, 2, 3], [0, 0, 0]])
+    m2 = m.set_index(idx, occupancy=jnp.asarray([1.0, 0.5]))
+    values, valid = m2.get_index(idx)
+    assert bool(valid.all())
+    np.testing.assert_allclose(np.asarray(values["occupancy"]), [1.0, 0.5])
+    # Original map unchanged (functional).
+    assert float(m.occupancy[1, 2, 3]) == 0.0
+
+
+def test_out_of_bounds_get_set():
+    m = make_map()
+    oob = jnp.asarray([[9, 9, 9]])
+    _, valid = m.get_index(oob)
+    assert not bool(valid[0])
+    m2 = m.set_index(oob, occupancy=1.0)  # dropped, no crash
+    np.testing.assert_array_equal(np.asarray(m2.occupancy),
+                                  np.asarray(m.occupancy))
+
+
+def test_location_accessors_respect_origin():
+    spec = GridSpec.from_voxel_counts(0.5, (4, 4, 4))
+    origin = np.eye(4, dtype=np.float32)
+    origin[:3, 3] = (10.0, 0.0, 0.0)
+    m = OccupancyMap.create(spec, origin, "f")
+    m = m.set_location(jnp.asarray([10.1, 0.1, 0.1]), occupancy=1.0)
+    values, valid = m.get_location(jnp.asarray([10.1, 0.1, 0.1, 1.0]))  # 4d
+    assert bool(valid)
+    assert float(values["occupancy"]) == 1.0
+    assert float(m.occupancy[0, 0, 0]) == 1.0
+
+
+def test_component_cache_invalidation_on_set():
+    spec = GridSpec.from_voxel_counts(0.5, (4, 4, 4))
+    m = OccupancyComponentMap.create(spec, None, "f")
+    m = m.replace(components_valid=True)
+    m2 = m.set_index(jnp.asarray([1, 1, 1]), occupancy=1.0)
+    assert not m2.components_valid  # OnMutableAccess analogue
+
+
+def test_tagged_multichannel_set():
+    spec = GridSpec.from_voxel_counts(0.5, (4, 4, 4))
+    m = TaggedObjectOccupancyMap.create(spec, None, "f")
+    m = m.set_index(jnp.asarray([2, 2, 2]), occupancy=1.0, object_id=7)
+    values, _ = m.get_index(jnp.asarray([2, 2, 2]))
+    assert float(values["occupancy"]) == 1.0
+    assert int(values["object_id"]) == 7
+
+
+def test_sdf_get_index_still_distance_specific():
+    spec = GridSpec.from_voxel_counts(0.5, (3, 3, 3))
+    sdf = SignedDistanceField.create(spec, jnp.ones(spec.counts), None, "f")
+    # The SDF's own get_index (distance + oob_value semantics) wins.
+    out = sdf.get_index(jnp.asarray([9, 9, 9]))
+    assert np.isinf(float(out))

@@ -87,6 +87,65 @@ class _MapBase:
     def replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)
 
+    # -- cell-level access (the OO get/set surface of the reference's
+    # VoxelGridBase: GetIndexImmutable / SetIndex / GetLocationImmutable /
+    # SetLocation, batched and functional) ---------------------------------
+
+    def _channel_names(self):
+        return [f.name for f in dataclasses.fields(self)
+                if f.name not in ("origin_transform",)
+                and not f.metadata.get("static", False)
+                and getattr(self, f.name).ndim == 3]
+
+    def get_index(self, index):
+        """Cell channels at integer indices ``[..., 3]`` -> (dict of
+        per-channel values, valid mask). Out-of-bounds lanes return the
+        first cell's value with ``valid=False`` (query-object semantics of
+        ``GetIndexImmutable``)."""
+        idx = jnp.asarray(index)
+        valid = self.spec.check_grid_index_in_bounds(idx)
+        safe = jnp.clip(idx, 0, jnp.asarray(self.spec.counts) - 1)
+        values = {name: getattr(self, name)[safe[..., 0], safe[..., 1],
+                                            safe[..., 2]]
+                  for name in self._channel_names()}
+        return values, valid
+
+    def get_location(self, p_world):
+        """Cell channels at world locations ``[..., 3|4]``
+        (``GetLocationImmutable{3d,4d}``)."""
+        return self.get_index(self.location_to_grid_index(
+            jnp.asarray(p_world)[..., :3]))
+
+    def set_index(self, index, **channel_values):
+        """Functional ``SetIndex``: returns a new map with the given channel
+        values written at integer indices ``[..., 3]`` (out-of-bounds lanes
+        dropped). Component/segment caches are invalidated like the
+        reference's OnMutableAccess hooks."""
+        idx = jnp.asarray(index)
+        valid = self.spec.check_grid_index_in_bounds(idx)
+        safe = jnp.clip(idx, 0, jnp.asarray(self.spec.counts) - 1)
+        updates = {}
+        for name, value in channel_values.items():
+            if name not in self._channel_names():
+                raise ValueError(f"Unknown channel {name!r}")
+            chan = getattr(self, name)
+            value = jnp.asarray(value, chan.dtype)
+            value = jnp.broadcast_to(value, idx.shape[:-1])
+            cur = chan[safe[..., 0], safe[..., 1], safe[..., 2]]
+            updates[name] = chan.at[
+                safe[..., 0], safe[..., 1], safe[..., 2]].set(
+                    jnp.where(valid, value, cur))
+        for flag in ("components_valid", "spatial_segments_valid"):
+            if hasattr(self, flag):
+                updates[flag] = False
+        return self.replace(**updates)
+
+    def set_location(self, p_world, **channel_values):
+        """Functional ``SetLocation{3d,4d}``."""
+        return self.set_index(
+            self.location_to_grid_index(jnp.asarray(p_world)[..., :3]),
+            **channel_values)
+
 
 @dataclasses.dataclass(frozen=True)
 class OccupancyMap(_MapBase):
