@@ -36,10 +36,11 @@ BASELINE_RAYS = 35e6  # fixed north-star target (70% of 1-sample-ray HBM)
 
 
 def _force(x):
-    """Materialize a device array result: slice ONE element on-device and
-    read it back (4-byte D2H). Never np.asarray the full array — through a
-    tunneled runtime that transfers gigabytes at tens of MB/s."""
-    return float(x[(0,) * x.ndim])
+    """Materialize a device array (4-byte D2H; see
+    utils.profiling.force_materialize for why block_until_ready and full
+    np.asarray are both wrong through the tunnel)."""
+    from voxelized_geometry_tools_tpu.utils import force_materialize
+    force_materialize(x)
 
 
 def main():

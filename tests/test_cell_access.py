@@ -71,3 +71,42 @@ def test_sdf_get_index_still_distance_specific():
     # The SDF's own get_index (distance + oob_value semantics) wins.
     out = sdf.get_index(jnp.asarray([9, 9, 9]))
     assert np.isinf(float(out))
+
+
+def test_oob_set_does_not_clobber_valid_duplicate():
+    """Regression: an OOB lane clipped onto a valid lane's cell must not
+    scatter a stale value over the valid write (mode='drop' semantics)."""
+    spec = GridSpec.from_voxel_counts(0.5, (4, 4, 4))
+    m = OccupancyMap.create(spec, None, "f")
+    m2 = m.set_index(jnp.asarray([[3, 3, 3], [5, 3, 3]]),
+                     occupancy=jnp.asarray([1.0, 0.7]))
+    assert float(m2.occupancy[3, 3, 3]) == 1.0
+
+
+def test_negative_index_set_dropped():
+    spec = GridSpec.from_voxel_counts(0.5, (4, 4, 4))
+    m = OccupancyMap.create(spec, None, "f")
+    m2 = m.set_index(jnp.asarray([[-1, 0, 0]]), occupancy=1.0)
+    np.testing.assert_array_equal(np.asarray(m2.occupancy),
+                                  np.asarray(m.occupancy))
+
+
+def test_locked_sdf_set_index_raises():
+    import pytest
+    spec = GridSpec.from_voxel_counts(0.5, (3, 3, 3))
+    sdf = SignedDistanceField.create(spec, jnp.ones(spec.counts), None, "f",
+                                     locked=True)
+    with pytest.raises(ValueError):
+        sdf.set_index(jnp.asarray([0, 0, 0]), distances=-5.0)
+    # Unlocked mutation works and min/max recompute live.
+    sdf2 = sdf.unlock().set_index(jnp.asarray([0, 0, 0]), distances=-5.0)
+    mn, _ = sdf2.get_minimum_maximum()
+    assert float(mn) == -5.0
+
+
+def test_sdf_get_location_keeps_dict_contract():
+    spec = GridSpec.from_voxel_counts(0.5, (3, 3, 3))
+    sdf = SignedDistanceField.create(spec, jnp.ones(spec.counts), None, "f")
+    values, valid = sdf.get_location(jnp.asarray([0.1, 0.1, 0.1]))
+    assert bool(valid)
+    assert float(values["distances"]) == 1.0

@@ -117,11 +117,15 @@ def test_mip_lower_bound_property(sphere_sdf):
     vals = np.asarray(mip.values).reshape(mip.coarse_counts)
     nx, ny, nz = d.shape
     f = mip.factor
+    # The mip must lower-bound the CORRECTED distance the march compares
+    # against (stored distance pulled half a voxel toward the surface).
+    corrected = np.where(d >= 0.0, d - 0.5 * sphere_sdf.spec.resolution,
+                         d + 0.5 * sphere_sdf.spec.resolution)
+    rng = np.random.default_rng(3)
     for _ in range(200):
-        rng = np.random.default_rng(3)
-        i, j, k = (np.random.randint(0, nx), np.random.randint(0, ny),
-                   np.random.randint(0, nz))
-        assert vals[i // f, j // f, k // f] <= d[i, j, k] + 1e-6
+        i, j, k = (rng.integers(0, nx), rng.integers(0, ny),
+                   rng.integers(0, nz))
+        assert vals[i // f, j // f, k // f] <= corrected[i, j, k] + 1e-6
 
 
 def test_mip_jits_and_is_pytree(sphere_sdf):

@@ -407,22 +407,28 @@ def packed_get_location(packed: PackedDSHMap, p_world) -> Tuple[Array, Array]:
         slot = jnp.where(match, packed.hash_slots[h], -1)
         return h, slot, done_now
 
-    # Linear probing as a bounded fori over the table capacity (load factor
-    # <= 0.5 means expected probes ~1-2; cap iterations guarantee
-    # termination under jit).
-    def body(i, state):
-        h, slot, done = state
+    # Linear probing under a while_loop that stops when every query lane has
+    # resolved (load factor <= 0.5 keeps expected probes ~1-2, but probe
+    # CLUSTERS can be long — e.g. a flat 128x128 slab of chunk regions
+    # measures runs of 200+ — so the bound must be the full capacity, not a
+    # small constant, or long-cluster chunks silently read as NOT_FILLED).
+    def cond(state):
+        i, _, _, done = state
+        return (i < cap) & jnp.logical_not(jnp.all(done))
+
+    def body(state):
+        i, h, slot, done = state
         nh, nslot, ndone = probe((h, slot, done))
         h_next = jnp.where(ndone, nh, (nh + 1) % cap)
-        return (h_next,
+        return (i + 1, h_next,
                 jnp.where(done, slot, nslot),
                 done | ndone)
 
     h = h0.astype(jnp.int32)
     slot0 = jnp.full(h.shape, -1, jnp.int32)
     done0 = jnp.zeros(h.shape, bool)
-    max_probes = min(cap, 64)
-    _, slot, _ = jax.lax.fori_loop(0, max_probes, body, (h, slot0, done0))
+    _, _, slot, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), h, slot0, done0))
 
     found = slot >= 0
     safe_slot = jnp.maximum(slot, 0)

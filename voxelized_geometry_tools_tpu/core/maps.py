@@ -97,11 +97,10 @@ class _MapBase:
                 and not f.metadata.get("static", False)
                 and getattr(self, f.name).ndim == 3]
 
-    def get_index(self, index):
-        """Cell channels at integer indices ``[..., 3]`` -> (dict of
-        per-channel values, valid mask). Out-of-bounds lanes return the
-        first cell's value with ``valid=False`` (query-object semantics of
-        ``GetIndexImmutable``)."""
+    def _get_cells(self, index):
+        """Base cell query: (dict of per-channel values, valid mask).
+        Out-of-bounds lanes return the first cell's value with
+        ``valid=False`` (query-object semantics of ``GetIndexImmutable``)."""
         idx = jnp.asarray(index)
         valid = self.spec.check_grid_index_in_bounds(idx)
         safe = jnp.clip(idx, 0, jnp.asarray(self.spec.counts) - 1)
@@ -110,20 +109,38 @@ class _MapBase:
                   for name in self._channel_names()}
         return values, valid
 
+    def get_index(self, index):
+        """Cell channels at integer indices ``[..., 3]`` -> (dict of
+        per-channel values, valid mask). Note: ``SignedDistanceField``
+        overrides THIS method with distance-value semantics (its
+        ``GetIndexImmutable`` returns the stored distance with the OOB
+        value); ``get_location`` keeps the (dict, valid) contract on every
+        map type."""
+        return self._get_cells(index)
+
     def get_location(self, p_world):
         """Cell channels at world locations ``[..., 3|4]``
-        (``GetLocationImmutable{3d,4d}``)."""
-        return self.get_index(self.location_to_grid_index(
+        (``GetLocationImmutable{3d,4d}``). Always returns the
+        ``(dict, valid)`` base contract, on every map type."""
+        return self._get_cells(self.location_to_grid_index(
             jnp.asarray(p_world)[..., :3]))
 
     def set_index(self, index, **channel_values):
         """Functional ``SetIndex``: returns a new map with the given channel
         values written at integer indices ``[..., 3]`` (out-of-bounds lanes
-        dropped). Component/segment caches are invalidated like the
-        reference's OnMutableAccess hooks."""
+        dropped via scatter mode='drop' — clipping them would race valid
+        writes to the clipped-onto cell). Component/segment caches are
+        invalidated like the reference's OnMutableAccess hooks. Raises on a
+        locked :class:`SignedDistanceField` (the reference refuses mutable
+        access while locked; unlock first)."""
+        if getattr(self, "locked", False):
+            raise ValueError(
+                "Cannot mutate a locked SignedDistanceField; unlock() first")
         idx = jnp.asarray(index)
-        valid = self.spec.check_grid_index_in_bounds(idx)
-        safe = jnp.clip(idx, 0, jnp.asarray(self.spec.counts) - 1)
+        # Negative indices would wrap NumPy-style before the drop check;
+        # push them past the upper bound so mode='drop' discards them too.
+        counts = jnp.asarray(self.spec.counts, idx.dtype)
+        idx = jnp.where(idx < 0, counts, idx)
         updates = {}
         for name, value in channel_values.items():
             if name not in self._channel_names():
@@ -131,10 +148,9 @@ class _MapBase:
             chan = getattr(self, name)
             value = jnp.asarray(value, chan.dtype)
             value = jnp.broadcast_to(value, idx.shape[:-1])
-            cur = chan[safe[..., 0], safe[..., 1], safe[..., 2]]
             updates[name] = chan.at[
-                safe[..., 0], safe[..., 1], safe[..., 2]].set(
-                    jnp.where(valid, value, cur))
+                idx[..., 0], idx[..., 1], idx[..., 2]].set(
+                    value, mode="drop")
         for flag in ("components_valid", "spatial_segments_valid"):
             if hasattr(self, flag):
                 updates[flag] = False

@@ -106,9 +106,12 @@ def build_sdf_mip(sdf: SignedDistanceField, factor: int = 8) -> SdfMip:
     pooled = d.reshape(cx, f, cy, f, cz, f).min(axis=(1, 3, 5))
     # For any x in the block, the center c_x of x's FINE cell is one of the
     # pooled centers, so d(x) >= d(c_x) - |x - c_x| >= min_pool - (sqrt(3)/2)
-    # * resolution: the margin is half a fine-cell diagonal, independent of
-    # the block factor.
-    margin = jnp.float32(0.5 * float(np.sqrt(3.0)) * sdf.spec.resolution)
+    # * resolution (half a fine-cell diagonal, independent of the block
+    # factor). The march compares against CORRECTED distances (stored value
+    # pulled 0.5*res toward the surface, sdf_query.py), so the bound must
+    # also cover that half-voxel shift: margin = (sqrt(3)/2 + 0.5) * res.
+    margin = jnp.float32(
+        (0.5 * float(np.sqrt(3.0)) + 0.5) * sdf.spec.resolution)
     return SdfMip(values=(pooled - margin).reshape(-1),
                   coarse_counts=(cx, cy, cz), factor=f,
                   block_size=f * sdf.spec.resolution)

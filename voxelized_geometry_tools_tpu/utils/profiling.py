@@ -31,10 +31,11 @@ def force_materialize(*values) -> None:
     import jax
     for v in values:
         for leaf in jax.tree_util.tree_leaves(v):
-            if hasattr(leaf, "ndim"):
+            if hasattr(leaf, "ndim") and getattr(leaf, "size", 0) > 0:
                 # Slice ONE element on-device, then read it (4-byte D2H);
                 # np.asarray(full array) would ship the whole buffer over
-                # the wire on tunneled runtimes.
+                # the wire on tunneled runtimes. Zero-size leaves have
+                # nothing to wait on (and would raise on indexing).
                 np.asarray(leaf[(0,) * leaf.ndim])
 
 
