@@ -96,9 +96,17 @@ class VoxelizerRuntime(NamedTuple):
 
 def _ray_visits(spec: GridSpec, p_start_grid: Array, start_index: Array,
                 p_final_grid: Array, final_index: Array, ray: Array,
-                hit: Array, clipped: Array, max_steps: int):
-    """One ray's DDA walk (cpu cpp:292-435). Returns per-step flat indices of
-    seen-free marks (-1 for inactive lanes) plus the endpoint mark."""
+                hit: Array, clipped: Array):
+    """Batched DDA walk setup over a whole ray block (cpu cpp:292-435).
+    Inputs are ``[N, 3]`` / ``[N]``; returns ``(init_state, step_fn,
+    endpoint_flat, endpoint_is_filled)`` — the walk itself is driven by
+    :func:`_walk_and_scatter` so segments can early-exit.
+
+    Everything is expressed as component-wise selects on separate per-axis
+    ``[N]`` arrays: per-lane dynamic indexing (``t[axis]``,
+    ``cur.at[axis].add``) vmaps to one gather/scatter PER STEP PER OPERAND —
+    measured ~700M gather rows for a single 640x480 cloud at 128^3, 8x the
+    whole carve's useful work."""
     n_counts = jnp.asarray(spec.counts, dtype=jnp.int32)
     res = jnp.float32(spec.resolution)
     half = res * 0.5
@@ -112,15 +120,10 @@ def _ray_visits(spec: GridSpec, p_start_grid: Array, start_index: Array,
     bottom = start_center - half
     top = start_center + half
 
-    def axis_t(point_axis, ray_axis, vmin, vmax):
-        t_pos = jnp.abs((vmax - point_axis) / ray_axis)
-        t_neg = jnp.abs((point_axis - vmin) / ray_axis)
-        return jnp.where(ray_axis > 0.0, t_pos,
-                         jnp.where(ray_axis < 0.0, t_neg, jnp.inf))
-
-    t0 = jnp.stack([
-        axis_t(p_start_grid[i], ray[i], bottom[i], top[i]) for i in range(3)
-    ])
+    t_pos = jnp.abs((top - p_start_grid) / ray)
+    t_neg = jnp.abs((p_start_grid - bottom) / ray)
+    t0 = jnp.where(ray > 0.0, t_pos,
+                   jnp.where(ray < 0.0, t_neg, jnp.inf))  # [N, 3]
     delta_t = jnp.where(ray != 0.0, jnp.abs(res / ray), jnp.inf)
 
     # Endpoint mark (cpp:367-381): filled unless range-clipped.
@@ -129,26 +132,67 @@ def _ray_visits(spec: GridSpec, p_start_grid: Array, start_index: Array,
         hit & final_in, spec.flat_index(final_index).astype(jnp.int32), -1)
     endpoint_is_filled = ~clipped
 
-    def body(state, _):
-        cur, t, active = state
-        running = active & jnp.any(cur != final_index)
-        in_b = jnp.all((cur >= 0) & (cur < n_counts))
-        emit = running & in_b
-        visit = jnp.where(emit, spec.flat_index(cur).astype(jnp.int32), -1)
-        alive = running & in_b
-        # Axis choice with the reference's exact tie-breaking (cpp:405-434).
-        cx = (t[0] <= t[1]) & (t[0] <= t[2])
-        cy = ~cx & (t[1] <= t[0]) & (t[1] <= t[2])
-        axis = jnp.where(cx, 0, jnp.where(cy, 1, 2))
-        at_final_on_axis = cur[axis] == final_index[axis]
-        alive = alive & ~at_final_on_axis
-        cur_new = jnp.where(alive, cur.at[axis].add(step[axis]), cur)
-        t_new = jnp.where(alive, t.at[axis].add(delta_t[axis]), t)
-        return (cur_new, t_new, alive), visit
+    ny, nz = spec.counts[1], spec.counts[2]
+    fx, fy, fz = final_index[:, 0], final_index[:, 1], final_index[:, 2]
+    sx, sy, sz = step[:, 0], step[:, 1], step[:, 2]
+    dtx, dty, dtz = delta_t[:, 0], delta_t[:, 1], delta_t[:, 2]
 
-    init = (start_index, t0, hit)
-    _, visits = lax.scan(body, init, None, length=max_steps)
-    return visits, endpoint_flat, endpoint_is_filled
+    def body(state, _):
+        cx_, cy_, cz_, tx, ty, tz, active = state
+        running = active & ((cx_ != fx) | (cy_ != fy) | (cz_ != fz))
+        in_b = ((cx_ >= 0) & (cx_ < n_counts[0])
+                & (cy_ >= 0) & (cy_ < n_counts[1])
+                & (cz_ >= 0) & (cz_ < n_counts[2]))
+        alive = running & in_b
+        visit = jnp.where(alive, cx_ * (ny * nz) + cy_ * nz + cz_,
+                          -1).astype(jnp.int32)
+        # Axis choice with the reference's exact tie-breaking (cpp:405-434).
+        pick_x = (tx <= ty) & (tx <= tz)
+        pick_y = ~pick_x & (ty <= tx) & (ty <= tz)
+        pick_z = ~pick_x & ~pick_y
+        at_final = jnp.where(pick_x, cx_ == fx,
+                             jnp.where(pick_y, cy_ == fy, cz_ == fz))
+        alive = alive & ~at_final
+        adv_x = alive & pick_x
+        adv_y = alive & pick_y
+        adv_z = alive & pick_z
+        new = (jnp.where(adv_x, cx_ + sx, cx_),
+               jnp.where(adv_y, cy_ + sy, cy_),
+               jnp.where(adv_z, cz_ + sz, cz_),
+               jnp.where(adv_x, tx + dtx, tx),
+               jnp.where(adv_y, ty + dty, ty),
+               jnp.where(adv_z, tz + dtz, tz),
+               alive)
+        return new, visit
+
+    init = (start_index[:, 0], start_index[:, 1], start_index[:, 2],
+            t0[:, 0], t0[:, 1], t0[:, 2], hit)
+    return init, body, endpoint_flat, endpoint_is_filled
+
+
+_DDA_SEGMENT = 64
+
+
+def _walk_and_scatter(init, body, free_counts, max_steps: int):
+    """March the DDA in ``_DDA_SEGMENT``-step segments under a while_loop,
+    scattering each segment's visits and stopping as soon as every ray in
+    the block has finished — the walk budget must cover the grid diagonal
+    but typical paths are far shorter, so fixed-length scans waste most of
+    their scatter slots on dead lanes."""
+    n_segments = -(-max_steps // _DDA_SEGMENT)
+
+    def seg_cond(state):
+        i, dda, _ = state
+        return (i < n_segments) & jnp.any(dda[-1])
+
+    def seg_body(state):
+        i, dda, counts = state
+        dda, visits = lax.scan(body, dda, None, length=_DDA_SEGMENT)
+        return i + 1, dda, _scatter_counts(counts, visits.reshape(-1))
+
+    _, _, free_counts = lax.while_loop(
+        seg_cond, seg_body, (jnp.int32(0), init, free_counts))
+    return free_counts
 
 
 def _prepare_rays(spec: GridSpec, X_GC: Array, points: Array,
@@ -254,18 +298,15 @@ def raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
         (p_start, start_idx, p_final, final_idx, ray, hit,
          clipped) = _prepare_rays(spec, X_GC, chunk_points, cloud.max_range)
 
-        visits, endpoint_flat, endpoint_filled = jax.vmap(
-            lambda ps, si, pf, fi, r, h, c: _ray_visits(
-                spec, ps, si, pf, fi, r, h, c, max_steps)
-        )(p_start, start_idx, p_final, final_idx, ray, hit, clipped)
+        init, body, endpoint_flat, endpoint_filled = _ray_visits(
+            spec, p_start, start_idx, p_final, final_idx, ray, hit, clipped)
+        free_counts = _walk_and_scatter(init, body, free_counts, max_steps)
 
-        # Free marks: all DDA visits plus clipped endpoints (cpp:371-375).
-        free_flat = jnp.concatenate([
-            visits.reshape(-1),
-            jnp.where(endpoint_filled, -1, endpoint_flat),
-        ])
+        # Endpoint marks (cpp:367-381): free if range-clipped, else filled.
+        free_counts = _scatter_counts(
+            free_counts, jnp.where(endpoint_filled, -1, endpoint_flat))
         filled_flat = jnp.where(endpoint_filled, endpoint_flat, -1)
-        return (_scatter_counts(free_counts, free_flat),
+        return (free_counts,
                 _scatter_counts(filled_counts, filled_flat)), None
 
     # Zero counters derived from the (possibly device-varying) points so the
@@ -345,6 +386,16 @@ def voxelize_pointclouds(
     filter_options.validate()
     spec = static_environment.spec
 
+    # Phase sync points only exist outside a trace: under jit the whole
+    # pipeline fuses and the per-phase VoxelizerRuntime is reported as
+    # zeros (the caller times the fused call instead).
+    import jax.core as jax_core
+
+    def _sync(x):
+        if runtime_log_fn is not None and not isinstance(x, jax_core.Tracer):
+            from ..utils import force_materialize
+            force_materialize(x)
+
     t0 = time.monotonic()
     if pointclouds:
         grids = [raycast_pointcloud(spec,
@@ -356,12 +407,12 @@ def voxelize_pointclouds(
     else:
         seen_free = jnp.zeros((0,) + spec.counts, jnp.int32)
         seen_filled = jnp.zeros((0,) + spec.counts, jnp.int32)
-    seen_free.block_until_ready()
+    _sync(seen_free)
     t1 = time.monotonic()
 
     occupancy = combine_and_filter(filter_options, seen_free, seen_filled,
                                    static_environment.occupancy)
-    occupancy.block_until_ready()
+    _sync(occupancy)
     t2 = time.monotonic()
 
     if runtime_log_fn is not None:
