@@ -1,0 +1,69 @@
+"""Tests for the flagship fusion/fitting model (models/fusion_pipeline.py)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxelized_geometry_tools_tpu import GridSpec
+from voxelized_geometry_tools_tpu.core import transforms
+from voxelized_geometry_tools_tpu.ops import edt, render
+from voxelized_geometry_tools_tpu.models import fusion_pipeline as fp
+
+
+def make_scene(n=24):
+    spec = GridSpec.from_voxel_counts(0.1, (n, n, n))
+    xs, ys, zs = np.meshgrid(*[np.arange(n)] * 3, indexing="ij", sparse=True)
+    filled = ((xs - n / 2) ** 2 + (ys - n / 2) ** 2
+              + (zs - n / 2) ** 2) <= (n / 4) ** 2
+    sdf = edt.extract_signed_distance_field(jnp.asarray(filled), spec, None)
+    center = np.asarray(spec.grid_sizes) / 2.0
+    cams = []
+    for offset in ((0.0, 0.0, -3.0), (0.0, -3.0, 0.0)):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = center + np.asarray(offset, np.float32)
+        if offset[1] != 0.0:  # look along +y: rotate optical axis
+            pose[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]],
+                                    np.float32).T
+        cams.append(render.PinholeCamera.create(pose, 32, 24, focal=28.0))
+    return sdf, cams
+
+
+def test_se3_exp_identity_and_smoothness():
+    m = fp.se3_exp(jnp.zeros(6))
+    np.testing.assert_allclose(np.asarray(m), np.eye(4), atol=1e-6)
+    import jax
+    g = jax.jacobian(lambda t: fp.se3_exp(t))(jnp.zeros(6))
+    assert bool(jnp.all(jnp.isfinite(g)))  # no NaN gradient at identity
+
+
+def test_fit_voxels_reduces_loss():
+    sdf, cams = make_scene()
+    targets = [render.render_depth(sdf, c, num_steps=32).depth for c in cams]
+    noise = 0.04 * np.random.default_rng(0).standard_normal(
+        np.asarray(sdf.distances).shape).astype(np.float32)
+    noisy = sdf.replace(distances=sdf.distances + noise)
+    refined, losses = fp.fit_voxels(noisy, cams, targets, num_iters=25,
+                                    num_steps=32)
+    losses = np.asarray(losses)
+    assert losses[-1] < 0.5 * losses[0]
+    assert refined.locked
+
+
+def test_reconstruct_pipeline_runs():
+    from voxelized_geometry_tools_tpu import OccupancyMap
+    from voxelized_geometry_tools_tpu.ops import voxelize
+    spec = GridSpec.from_voxel_counts(0.25, (8, 8, 8))
+    origin = transforms.isometry_from_translation((-1.0, -1.0, -1.0))
+    env = OccupancyMap.create(spec, origin, "w")
+    pts = np.stack(np.meshgrid(np.linspace(-0.9, 0.9, 12),
+                               np.linspace(-0.9, 0.9, 12),
+                               indexing="ij"), -1)
+    pts = np.concatenate([pts, np.full((12, 12, 1), 0.8)], -1).reshape(-1, 3)
+    cloud = voxelize.PointCloud.create(pts.astype(np.float32), np.eye(4))
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0.0, 0.0, -2.0)
+    cam = render.PinholeCamera.create(pose, 16, 12, focal=14.0)
+    out = fp.reconstruct(env, [cloud], cam, num_render_steps=24)
+    assert out.sdf.locked
+    assert out.render_result.depth.shape == (12, 16)
