@@ -17,6 +17,7 @@ device_voxelization_interface.hpp:44-70): known keys are ``CPU_NUM_THREADS``
 from __future__ import annotations
 
 import enum
+import time
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -78,7 +79,15 @@ def retrieve_option_or_default(options: Dict[str, int], key: str,
 class AcceleratorPointCloudVoxelizer:
     """XLA/TPU voxelizer built on :mod:`.voxelize` (the analogue of the
     reference's device voxelizers, with the scatter-add carve replacing
-    atomicAdd kernels)."""
+    atomicAdd kernels).
+
+    Both phases are jit-compiled and cached across calls (keyed by grid
+    shape + cloud shapes, exactly like the reference's compiled CUDA/OpenCL
+    kernels are built once and re-launched,
+    device_pointcloud_voxelization.cpp:65-181). Tracking grids stay
+    device-resident between the carve and the filter — the key optimization
+    of the reference device path — and the returned ``VoxelizerRuntime``
+    keeps the honest raycast/filter split by syncing once between phases."""
 
     def __init__(self, options: Dict[str, int] = {},
                  logging_fn: LoggingFunction = None):
@@ -90,13 +99,42 @@ class AcceleratorPointCloudVoxelizer:
         if logging_fn:
             logging_fn(f"AcceleratorPointCloudVoxelizer on {self._name}")
 
+        from .voxelize import raycast_pointcloud, combine_and_filter
+
+        def carve(origin_transform, clouds, spec):
+            grids = [raycast_pointcloud(spec, origin_transform, cloud,
+                                        self._max_steps)
+                     for cloud in clouds]
+            seen_free = jnp.stack([g.seen_free for g in grids])
+            seen_filled = jnp.stack([g.seen_filled for g in grids])
+            return seen_free, seen_filled
+
+        self._carve = jax.jit(carve, static_argnums=2)
+        self._filter = jax.jit(combine_and_filter, static_argnums=0)
+
     def voxelize_pointclouds(self, static_environment: OccupancyMap,
                              filter_options: FilterOptions,
                              pointclouds: Sequence[PointCloud],
                              runtime_log_fn=None) -> OccupancyMap:
-        return voxelize_pointclouds(static_environment, filter_options,
-                                    list(pointclouds), runtime_log_fn,
-                                    max_steps=self._max_steps)
+        filter_options.validate()
+        if not pointclouds:
+            return voxelize_pointclouds(static_environment, filter_options,
+                                        [], runtime_log_fn,
+                                        max_steps=self._max_steps)
+        from ..utils import force_materialize
+        spec = static_environment.spec
+        t0 = time.monotonic()
+        seen_free, seen_filled = self._carve(
+            static_environment.origin_transform, tuple(pointclouds), spec)
+        if runtime_log_fn is not None:
+            force_materialize(seen_free)
+        t1 = time.monotonic()
+        occupancy = self._filter(filter_options, seen_free, seen_filled,
+                                 static_environment.occupancy)
+        if runtime_log_fn is not None:
+            force_materialize(occupancy)
+            runtime_log_fn(VoxelizerRuntime(t1 - t0, time.monotonic() - t1))
+        return static_environment.replace(occupancy=occupancy)
 
 
 class NativeCpuPointCloudVoxelizer:
