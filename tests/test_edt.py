@@ -185,3 +185,52 @@ def test_extract_sdf_from_occupancy_unknown_handling():
     assert sdf_u_filled.locked
     assert float(sdf_u_filled.minimum) == -2.0
     assert float(sdf_u_filled.maximum) == 2.0
+
+
+def test_double_scalar_type():
+    """Float + double instantiations (signed_distance_field.hpp:1268-1269;
+    sdf_generation_test.cpp runs both scalar types, 295-313)."""
+    import jax
+
+    spec = GridSpec.from_voxel_counts(0.125, (1, 1, 4))
+    occ = np.array([1.0, 1.0, 0.0, 0.0], np.float32).reshape(1, 1, 4)
+    with jax.enable_x64():
+        sdf64 = edt.extract_sdf_from_occupancy(occ, spec, None,
+                                               dtype=jnp.float64)
+        assert np.asarray(sdf64.distances).dtype == np.float64
+        assert np.asarray(sdf64.minimum).dtype == np.float64
+        np.testing.assert_allclose(
+            np.asarray(sdf64.distances)[0, 0],
+            np.array([-0.25, -0.125, 0.125, 0.25], np.float64), rtol=0,
+            atol=0)
+
+        # Serialization round-trip preserves the double scalar tag.
+        from voxelized_geometry_tools_tpu.core import serialization
+        from voxelized_geometry_tools_tpu.io import messages
+        blob = serialization.to_file_bytes(sdf64)
+        loaded = serialization.from_file_bytes(blob)
+        assert np.asarray(loaded.distances).dtype == np.float64
+        np.testing.assert_array_equal(np.asarray(loaded.distances),
+                                      np.asarray(sdf64.distances))
+        msg = messages.get_message_representation(sdf64)
+        assert msg["scalar_type"] == messages.SCALAR_TYPE_DOUBLE
+
+    # Without x64, requesting float64 raises instead of silently downcasting.
+    sdf32 = edt.extract_sdf_from_occupancy(occ, spec, None)
+    assert np.asarray(sdf32.distances).dtype == np.float32
+    try:
+        edt.extract_sdf_from_occupancy(occ, spec, None, dtype=jnp.float64)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("float64 without x64 must raise")
+
+    # A double file loads as float32 when x64 is off (graceful degradation).
+    with jax.enable_x64():
+        from voxelized_geometry_tools_tpu.core import serialization
+        blob = serialization.to_file_bytes(
+            edt.extract_sdf_from_occupancy(occ, spec, None,
+                                           dtype=jnp.float64))
+    from voxelized_geometry_tools_tpu.core import serialization
+    loaded32 = serialization.from_file_bytes(blob)
+    assert np.asarray(loaded32.distances).dtype == np.float32

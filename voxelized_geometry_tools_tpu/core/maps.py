@@ -314,11 +314,23 @@ class SignedDistanceField(_MapBase):
     @staticmethod
     def create(spec: GridSpec, distances: Array, origin_transform=None,
                frame: str = "", oob_value: float = float("inf"),
-               locked: bool = False) -> "SignedDistanceField":
+               locked: bool = False, dtype=None) -> "SignedDistanceField":
+        """``dtype`` selects the scalar type — the analogue of the
+        reference's ``SignedDistanceField<float>`` / ``<double>`` explicit
+        instantiations (signed_distance_field.hpp:1268-1269). Default
+        float32; float64 requires ``jax_enable_x64`` (raises otherwise
+        rather than silently downcasting)."""
+        dtype = jnp.float32 if dtype is None else dtype
+        values = jnp.asarray(distances).astype(dtype)
+        if jnp.dtype(dtype) == jnp.float64 and values.dtype != jnp.float64:
+            raise ValueError(
+                "float64 SDFs require jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))")
         sdf = SignedDistanceField(
             origin_transform=_default_transform(origin_transform),
-            distances=jnp.asarray(distances, dtype=jnp.float32),
-            minimum=jnp.float32(0), maximum=jnp.float32(0),
+            distances=values,
+            minimum=jnp.zeros((), values.dtype),
+            maximum=jnp.zeros((), values.dtype),
             spec=spec, frame=frame, locked=False, oob_value=float(oob_value))
         return sdf.lock() if locked else sdf
 

@@ -119,7 +119,8 @@ def serialize(m) -> bytes:
     buf = io.BytesIO()
     buf.write(struct.pack("<II", _VERSION, kind))
     if kind == _KIND_SDF:
-        buf.write(struct.pack("<BB", 4, int(extra["locked"])))
+        scalar_tag = 8 if channels["distances"].dtype == np.float64 else 4
+        buf.write(struct.pack("<BB", scalar_tag, int(extra["locked"])))
         buf.write(struct.pack("<d", float(extra["oob_value"])))
     _write_string(buf, m.frame)
     buf.write(struct.pack("<d", m.spec.resolution))
@@ -157,9 +158,13 @@ def deserialize(data: bytes):
     origin32 = jnp.asarray(origin, jnp.float32)
 
     if kind == _KIND_SDF:
+        # Preserve a stored double field when x64 is enabled; otherwise load
+        # as float32 (the cross-precision tolerance story of SURVEY.md §7).
+        stored = channels["distances"]
+        dtype = stored.dtype if stored.dtype == jnp.float64 else jnp.float32
         return SignedDistanceField.create(
-            spec, channels["distances"], origin32, frame,
-            oob_value=oob_value, locked=locked)
+            spec, stored, origin32, frame,
+            oob_value=oob_value, locked=locked, dtype=dtype)
     if kind == _KIND_TAGGED_COMPONENT:
         m = TaggedObjectOccupancyComponentMap.create(spec, origin32, frame)
         return m.replace(**channels)

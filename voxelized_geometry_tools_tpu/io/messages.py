@@ -35,7 +35,9 @@ def get_message_representation(m, compress: bool = True,
         "is_compressed": bool(compress),
     }
     if isinstance(m, SignedDistanceField):
-        msg["scalar_type"] = SCALAR_TYPE_FLOAT
+        msg["scalar_type"] = (SCALAR_TYPE_DOUBLE
+                              if np.asarray(m.distances).dtype == np.float64
+                              else SCALAR_TYPE_FLOAT)
     return msg
 
 

@@ -124,14 +124,20 @@ def squared_edt(seed: Array, block: int = 512) -> Array:
 
 
 def signed_distance_from_filled_mask(is_filled: Array, resolution: float,
-                                     block: int = 512) -> Array:
+                                     block: int = 512,
+                                     dtype=jnp.float32) -> Array:
     """Two-field signed combine: ``sqrt(d2_filled) - sqrt(d2_free)`` scaled by
     resolution (signed_distance_field_generation.hpp:85-108). Negative inside
-    filled space, positive outside; ``+/-inf`` for fully empty/filled grids."""
+    filled space, positive outside; ``+/-inf`` for fully empty/filled grids.
+
+    The squared axis transforms are integer-exact in float32 up to 2048-voxel
+    axes (3 * 2048^2 < 2^24), so the requested ``dtype`` (float / double —
+    the reference's two instantiations) only needs to govern the final
+    sqrt/scale combine."""
     is_filled = jnp.asarray(is_filled, dtype=bool)
-    d2_filled = squared_edt(is_filled, block)
-    d2_free = squared_edt(~is_filled, block)
-    res = jnp.float32(resolution)
+    d2_filled = squared_edt(is_filled, block).astype(dtype)
+    d2_free = squared_edt(~is_filled, block).astype(dtype)
+    res = jnp.asarray(resolution, dtype)
     return jnp.sqrt(d2_filled) * res - jnp.sqrt(d2_free) * res
 
 
@@ -142,7 +148,8 @@ def _pad_axis_flags(counts: Tuple[int, int, int]):
 
 
 def signed_distance_with_virtual_border(is_filled: Array, resolution: float,
-                                        block: int = 512) -> Array:
+                                        block: int = 512,
+                                        dtype=jnp.float32) -> Array:
     """``AddVirtualBorder`` variant (hpp:115-285): synthesize a 1-voxel border,
     compute a "free" SDF (border filled) and a "filled" SDF (border free) on
     the enlarged grid, crop, and merge."""
@@ -153,9 +160,10 @@ def signed_distance_with_virtual_border(is_filled: Array, resolution: float,
     free_seeds = jnp.pad(is_filled, pad_cfg, constant_values=True)
     filled_seeds = jnp.pad(is_filled, pad_cfg, constant_values=False)
 
-    free_sdf = signed_distance_from_filled_mask(free_seeds, resolution, block)
+    free_sdf = signed_distance_from_filled_mask(free_seeds, resolution, block,
+                                                dtype)
     filled_sdf = signed_distance_from_filled_mask(filled_seeds, resolution,
-                                                  block)
+                                                  block, dtype)
     crop = tuple(slice(p, s - p) for p, s in zip(pads, free_sdf.shape))
     free_sdf = free_sdf[crop]
     filled_sdf = filled_sdf[crop]
@@ -176,14 +184,16 @@ def filled_mask_from_occupancy(occupancy: Array,
     return filled
 
 
-@functools.partial(jax.jit, static_argnames=("add_virtual_border", "block"))
+@functools.partial(jax.jit, static_argnames=("add_virtual_border", "block",
+                                             "dtype"))
 def _sdf_values_from_mask(is_filled: Array, resolution: float,
                           add_virtual_border: bool = False,
-                          block: int = 512) -> Array:
+                          block: int = 512, dtype=jnp.float32) -> Array:
     if add_virtual_border:
         return signed_distance_with_virtual_border(is_filled, resolution,
-                                                   block)
-    return signed_distance_from_filled_mask(is_filled, resolution, block)
+                                                   block, dtype)
+    return signed_distance_from_filled_mask(is_filled, resolution, block,
+                                            dtype)
 
 
 def extract_signed_distance_field(
@@ -193,7 +203,8 @@ def extract_signed_distance_field(
         frame: str = "",
         oob_value: float = float("inf"),
         add_virtual_border: bool = False,
-        block: int = 512) -> SignedDistanceField:
+        block: int = 512,
+        dtype=jnp.float32) -> SignedDistanceField:
     """Full SDF-generation entry point over a filled-voxel mask.
 
     Functional analogue of
@@ -204,10 +215,10 @@ def extract_signed_distance_field(
     """
     values = _sdf_values_from_mask(
         jnp.asarray(is_filled, dtype=bool), float(spec.resolution),
-        add_virtual_border=add_virtual_border, block=block)
+        add_virtual_border=add_virtual_border, block=block, dtype=dtype)
     return SignedDistanceField.create(
         spec=spec, distances=values, origin_transform=origin_transform,
-        frame=frame, oob_value=oob_value, locked=True)
+        frame=frame, oob_value=oob_value, locked=True, dtype=dtype)
 
 
 def extract_sdf_from_occupancy(
@@ -218,13 +229,16 @@ def extract_sdf_from_occupancy(
         oob_value: float = float("inf"),
         unknown_is_filled: bool = True,
         add_virtual_border: bool = False,
-        block: int = 512) -> SignedDistanceField:
+        block: int = 512,
+        dtype=jnp.float32) -> SignedDistanceField:
     """SDF from an occupancy channel (``OccupancyMap::ExtractSignedDistanceField``,
-    occupancy_map.hpp:174-210)."""
+    occupancy_map.hpp:174-210). ``dtype=jnp.float32`` / ``jnp.float64`` are
+    the ``ExtractSignedDistanceFieldFloat`` / ``...Double`` variants
+    (occupancy_map.cpp:250-262; float64 requires ``jax_enable_x64``)."""
     mask = filled_mask_from_occupancy(occupancy, unknown_is_filled)
     return extract_signed_distance_field(
         mask, spec, origin_transform, frame=frame, oob_value=oob_value,
-        add_virtual_border=add_virtual_border, block=block)
+        add_virtual_border=add_virtual_border, block=block, dtype=dtype)
 
 
 def merge_free_and_named_object_sdfs(free_sdf: Array,
