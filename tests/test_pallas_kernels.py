@@ -1,0 +1,40 @@
+"""Exactness tests for the Pallas kernel backends (interpret mode on CPU),
+mirroring the reference's one-oracle-many-backends strategy
+(pointcloud_voxelization_test.cpp:275-295 runs the same checks on every
+available device backend)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxelized_geometry_tools_tpu.ops import edt
+from voxelized_geometry_tools_tpu.kernels import edt_pallas
+
+
+@pytest.mark.parametrize("shape", [(7, 13, 37), (3, 50), (1, 1, 4), (64,)])
+def test_envelope_pallas_matches_xla(shape):
+    rng = np.random.default_rng(42)
+    f = rng.uniform(0, 50, shape).astype(np.float32)
+    f[rng.uniform(size=shape) < 0.25] = np.inf
+    ref = np.asarray(edt._parabolic_envelope_last(jnp.asarray(f)))
+    got = np.asarray(edt_pallas.parabolic_envelope_last_pallas(
+        jnp.asarray(f), tile_lines=8, interpret=True))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_squared_edt_pallas_matches_xla():
+    rng = np.random.default_rng(7)
+    seed = rng.uniform(size=(24, 17, 33)) < 0.1
+    ref = np.asarray(edt.squared_edt(jnp.asarray(seed)))
+    got = np.asarray(edt_pallas.squared_edt_pallas(
+        jnp.asarray(seed), tile_lines=8, interpret=True))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_squared_edt_pallas_empty_and_full():
+    empty = jnp.zeros((4, 5, 6), bool)
+    assert bool(jnp.all(jnp.isinf(
+        edt_pallas.squared_edt_pallas(empty, tile_lines=8, interpret=True))))
+    full = jnp.ones((4, 5, 6), bool)
+    assert bool(jnp.all(edt_pallas.squared_edt_pallas(
+        full, tile_lines=8, interpret=True) == 0.0))

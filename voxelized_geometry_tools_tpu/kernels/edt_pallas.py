@@ -1,0 +1,107 @@
+"""Pallas TPU kernel for the 1-D parabolic-envelope distance transform.
+
+The EDT's per-axis pass computes ``d[l, q] = min_k (q - k)^2 + f[l, k]``
+for every grid line ``l`` (the Felzenszwalb-Huttenlocher transform of
+signed_distance_field_generation.cpp:124-226, evaluated as an exact
+min-plus reduction — see :mod:`..ops.edt` for why the sequential envelope
+scan does not vectorize on TPU).
+
+This kernel is the VMEM-resident formulation: each program pins a
+``[n, tile_lines]`` block (lines on lanes, positions on sublanes) in VMEM
+and runs the k-reduction on the VPU, accumulating the running minimum in
+registers instead of streaming XLA fusion intermediates. The layout is
+transposed relative to the XLA twin because Mosaic supports *dynamic
+sublane* slices but not dynamic lane slices: ``f[k, :]`` is one sublane
+row that broadcasts over the q sublanes for free. Work and results are
+identical to :func:`..ops.edt._parabolic_envelope_last`; which backend is
+faster is a hardware question (both are VPU-compute-bound), recorded in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_UNROLL = 16
+
+
+def _envelope_kernel(ft_ref, out_ref):
+    """out[q, l] = min_k (q - k)^2 + ft[k, l] over the whole line length."""
+    n = ft_ref.shape[0]
+    # TPU iota is integer-only; q runs down the sublane axis.
+    q = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
+
+    def body(kb, d):
+        base = (kb * _UNROLL).astype(jnp.float32)
+        fk = ft_ref[pl.ds(kb * _UNROLL, _UNROLL), :]  # [_UNROLL, tile_lines]
+        for u in range(_UNROLL):
+            delta = q - (base + u)
+            d = jnp.minimum(d, delta * delta + fk[u:u + 1, :])
+        return d
+
+    d0 = jnp.full(out_ref.shape, jnp.inf, dtype=jnp.float32)
+    out_ref[:, :] = lax.fori_loop(0, n // _UNROLL, body, d0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_lines", "interpret"))
+def parabolic_envelope_last_pallas(f: Array, tile_lines: int = 1024,
+                                   interpret: bool = False) -> Array:
+    """Exact 1-D squared-distance transform along the last axis (Pallas).
+
+    Drop-in twin of :func:`..ops.edt._parabolic_envelope_last`; ``f`` is
+    ``[..., n]`` float32 (``+inf`` allowed). ``interpret=True`` runs the
+    kernel in the Pallas interpreter so exactness tests run on CPU.
+    """
+    f = jnp.asarray(f, jnp.float32)
+    shape = f.shape
+    n = shape[-1]
+    lines = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+
+    pad_n = (-n) % _UNROLL
+    pad_l = (-lines) % tile_lines
+    # Lines on lanes, axis positions on sublanes (see module docstring).
+    ft = f.reshape(lines, n).T
+    if pad_n or pad_l:
+        ft = jnp.pad(ft, ((0, pad_n), (0, pad_l)), constant_values=jnp.inf)
+    padded_n, padded_lines = ft.shape
+
+    out = pl.pallas_call(
+        _envelope_kernel,
+        grid=(padded_lines // tile_lines,),
+        in_specs=[pl.BlockSpec((padded_n, tile_lines), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((padded_n, tile_lines), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
+                                       jnp.float32),
+        interpret=interpret,
+    )(ft)
+    return out[:n, :lines].T.reshape(shape)
+
+
+def squared_edt_pallas(seed: Array, tile_lines: int = 1024,
+                       interpret: bool = False) -> Array:
+    """3-D squared EDT with Pallas envelope passes (axis 0 uses the same
+    binary prefix-scan fast path as the XLA backend — it is exact and
+    bandwidth-bound, with nothing for a custom kernel to improve)."""
+    from ..ops import edt as edt_ops
+
+    seed = jnp.asarray(seed, dtype=bool)
+    d = jnp.moveaxis(
+        edt_ops._binary_squared_dist_last(jnp.moveaxis(seed, 0, -1)), -1, 0)
+    if seed.shape[1] > 1:
+        d = jnp.moveaxis(
+            parabolic_envelope_last_pallas(jnp.moveaxis(d, 1, -1),
+                                           tile_lines, interpret), -1, 1)
+    if seed.shape[2] > 1:
+        d = parabolic_envelope_last_pallas(d, tile_lines, interpret)
+    return d
