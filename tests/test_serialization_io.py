@@ -194,3 +194,39 @@ def test_export_voxel_grid_indices_and_index_map():
     np.testing.assert_allclose(m2.positions[0], (0.75, 1.25, 1.75))
     m3 = viz.export_voxel_grid_index_map(spec, origin, "f", {})
     assert m3.num_cells == 0
+
+
+def test_component_metadata_round_trip(tmp_path):
+    """number_of_components / validity flags survive the file round trip
+    (the reference serializes the derived component metadata,
+    occupancy_component_map.cpp:66-109)."""
+    from voxelized_geometry_tools_tpu import OccupancyComponentMap
+    from voxelized_geometry_tools_tpu.core import serialization
+    from voxelized_geometry_tools_tpu.ops import map_ops
+
+    spec = GridSpec.from_voxel_counts(1.0, (4, 4, 4))
+    m = OccupancyComponentMap.create(spec, None, "w")
+    occ = np.zeros((4, 4, 4), np.float32)
+    occ[0, 0, 0] = 1.0
+    occ[3, 3, 3] = 1.0
+    m = m.set_occupancy(jnp.asarray(occ))
+    m = map_ops.update_connected_components(m)
+    n_before = int(m.number_of_components)
+    assert n_before > 0 and m.components_valid
+
+    path = str(tmp_path / "cmap.vgt")
+    serialization.save_to_file(m, path)
+    loaded = serialization.load_from_file(path)
+    assert int(loaded.number_of_components) == n_before
+    assert loaded.components_valid
+    np.testing.assert_array_equal(np.asarray(loaded.component),
+                                  np.asarray(m.component))
+
+
+def test_integer_location_to_index():
+    """Integer-typed query points must not truncate a sub-unit resolution
+    (float divide, not integer divide)."""
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    idx = np.asarray(spec.location_in_grid_frame_to_grid_index(
+        jnp.asarray([1, 2, 3])))
+    np.testing.assert_array_equal(idx, [4, 8, 12])

@@ -118,6 +118,10 @@ class GridSpec:
     def location_in_grid_frame_to_grid_index(self, p_grid) -> Array:
         """floor(p / resolution) per axis; may be out of bounds. [..., 3]."""
         p = jnp.asarray(p_grid)
+        # Force a float divide: integer-typed points would truncate the
+        # resolution (0 for sub-unit resolutions) and emit garbage indices.
+        if not jnp.issubdtype(p.dtype, jnp.floating):
+            p = p.astype(jnp.float32)
         return jnp.floor(p[..., :3] / p.dtype.type(self.resolution)).astype(
             jnp.int32)
 

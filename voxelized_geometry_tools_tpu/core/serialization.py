@@ -6,19 +6,23 @@ zlib-compressed payload (``SDFZ/SDFR`` for SDFs — signed_distance_field.hpp:
 occupancy_map.cpp:116-193; ``TMGZ/TMGR`` for the tagged types; ``DMGZ/DMGR``
 for the dynamic spatial-hashed map).
 
-Payload layout is the VGT-TPU v1 format (documented below), *not* the
+Payload layout is the VGT-TPU v2 format (documented below), *not* the
 reference's byte layout: the reference's grid serializer lives in the external
 ``common_robotics_utilities`` package (not vendored here), so byte
 compatibility cannot be implemented or validated against it. The envelope,
 magics, compression flag, and round-trip semantics (frame, origin transform,
 locked flag, scalar-type tag) are preserved.
 
-VGT-TPU v1 payload (little-endian):
+VGT-TPU v2 payload (little-endian):
   u32   format version (1)
   u32   map kind tag
   u8    scalar type tag (4 = f32, 8 = f64) — SDF only, mirrored from
         msg/SignedDistanceFieldMessage.msg:3-6
   u8    locked flag (SDF only)
+  u8 components_valid + u32 number_of_components (component kinds only;
+  tagged-component adds u8 segments_valid + u32 number_of_spatial_segments
+  — the derived metadata the reference serializer keeps,
+  occupancy_component_map.cpp:66-109)
   u32   frame string length + utf-8 bytes
   f64   resolution
   f64[16] origin transform (row-major 4x4)
@@ -42,7 +46,7 @@ from .maps import (
     OccupancyComponentMap, OccupancyMap, SignedDistanceField,
     TaggedObjectOccupancyComponentMap, TaggedObjectOccupancyMap)
 
-_VERSION = 1
+_VERSION = 2
 
 _KIND_OCCUPANCY = 1
 _KIND_OCCUPANCY_COMPONENT = 2
@@ -95,6 +99,11 @@ def _map_kind_and_channels(m) -> Tuple[int, Dict[str, np.ndarray], dict]:
         extra = dict(locked=m.locked, oob_value=m.oob_value)
         return _KIND_SDF, {"distances": np.asarray(m.distances)}, extra
     if isinstance(m, TaggedObjectOccupancyComponentMap):
+        extra = dict(
+            components_valid=m.components_valid,
+            number_of_components=int(m.number_of_components),
+            spatial_segments_valid=m.spatial_segments_valid,
+            number_of_spatial_segments=int(m.number_of_spatial_segments))
         return _KIND_TAGGED_COMPONENT, {
             "occupancy": np.asarray(m.occupancy),
             "object_id": np.asarray(m.object_id),
@@ -105,6 +114,8 @@ def _map_kind_and_channels(m) -> Tuple[int, Dict[str, np.ndarray], dict]:
             "occupancy": np.asarray(m.occupancy),
             "object_id": np.asarray(m.object_id)}, extra
     if isinstance(m, OccupancyComponentMap):
+        extra = dict(components_valid=m.components_valid,
+                     number_of_components=int(m.number_of_components))
         return _KIND_OCCUPANCY_COMPONENT, {
             "occupancy": np.asarray(m.occupancy),
             "component": np.asarray(m.component)}, extra
@@ -114,7 +125,7 @@ def _map_kind_and_channels(m) -> Tuple[int, Dict[str, np.ndarray], dict]:
 
 
 def serialize(m) -> bytes:
-    """Serialize any map/SDF to the VGT-TPU v1 payload."""
+    """Serialize any map/SDF to the VGT-TPU v2 payload."""
     kind, channels, extra = _map_kind_and_channels(m)
     buf = io.BytesIO()
     buf.write(struct.pack("<II", _VERSION, kind))
@@ -122,6 +133,13 @@ def serialize(m) -> bytes:
         scalar_tag = 8 if channels["distances"].dtype == np.float64 else 4
         buf.write(struct.pack("<BB", scalar_tag, int(extra["locked"])))
         buf.write(struct.pack("<d", float(extra["oob_value"])))
+    elif kind in (_KIND_OCCUPANCY_COMPONENT, _KIND_TAGGED_COMPONENT):
+        buf.write(struct.pack("<BI", int(extra["components_valid"]),
+                              extra["number_of_components"]))
+        if kind == _KIND_TAGGED_COMPONENT:
+            buf.write(struct.pack(
+                "<BI", int(extra["spatial_segments_valid"]),
+                extra["number_of_spatial_segments"]))
     _write_string(buf, m.frame)
     buf.write(struct.pack("<d", m.spec.resolution))
     buf.write(np.asarray(m.origin_transform, np.float64).tobytes())
@@ -133,17 +151,26 @@ def serialize(m) -> bytes:
 
 
 def deserialize(data: bytes):
-    """Deserialize a VGT-TPU v1 payload back into the matching map type."""
+    """Deserialize a VGT-TPU v2 payload back into the matching map type."""
     buf = io.BytesIO(data)
     version, kind = struct.unpack("<II", buf.read(8))
     if version != _VERSION:
         raise ValueError(f"Unsupported format version {version}")
     locked = False
     oob_value = float("inf")
+    meta = {}
     if kind == _KIND_SDF:
         _scalar_tag, locked_u8 = struct.unpack("<BB", buf.read(2))
         locked = bool(locked_u8)
         (oob_value,) = struct.unpack("<d", buf.read(8))
+    elif kind in (_KIND_OCCUPANCY_COMPONENT, _KIND_TAGGED_COMPONENT):
+        cv, nc = struct.unpack("<BI", buf.read(5))
+        meta = dict(components_valid=bool(cv),
+                    number_of_components=jnp.uint32(nc))
+        if kind == _KIND_TAGGED_COMPONENT:
+            sv, ns = struct.unpack("<BI", buf.read(5))
+            meta.update(spatial_segments_valid=bool(sv),
+                        number_of_spatial_segments=jnp.uint32(ns))
     frame = _read_string(buf)
     (resolution,) = struct.unpack("<d", buf.read(8))
     origin = np.frombuffer(buf.read(16 * 8), np.float64).reshape(4, 4)
@@ -167,13 +194,13 @@ def deserialize(data: bytes):
             oob_value=oob_value, locked=locked, dtype=dtype)
     if kind == _KIND_TAGGED_COMPONENT:
         m = TaggedObjectOccupancyComponentMap.create(spec, origin32, frame)
-        return m.replace(**channels)
+        return m.replace(**channels, **meta)
     if kind == _KIND_TAGGED:
         m = TaggedObjectOccupancyMap.create(spec, origin32, frame)
         return m.replace(**channels)
     if kind == _KIND_OCCUPANCY_COMPONENT:
         m = OccupancyComponentMap.create(spec, origin32, frame)
-        return m.replace(**channels)
+        return m.replace(**channels, **meta)
     if kind == _KIND_OCCUPANCY:
         m = OccupancyMap.create(spec, origin32, frame)
         return m.replace(**channels)

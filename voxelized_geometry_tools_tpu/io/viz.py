@@ -84,10 +84,11 @@ def export_occupancy_for_display(
     filled (>0.5) / free (<0.5) / unknown (==0.5)."""
 
     def color(occ):
-        rgba = np.empty(occ.shape + (4,), np.float32)
+        # Start from the unknown color so non-finite occupancies (which
+        # match none of the three masks) never leave uninitialized RGBA.
+        rgba = np.full(occ.shape + (4,), unknown_color, np.float32)
         rgba[occ > 0.5] = collision_color
         rgba[occ < 0.5] = free_color
-        rgba[occ == 0.5] = unknown_color
         return rgba
 
     return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,

@@ -103,7 +103,8 @@ class AcceleratorPointCloudVoxelizer:
 
         def carve(origin_transform, clouds, spec):
             grids = [raycast_pointcloud(spec, origin_transform, cloud,
-                                        self._max_steps)
+                                        self._max_steps,
+                                        ray_chunk=self._ray_chunk)
                      for cloud in clouds]
             seen_free = jnp.stack([g.seen_free for g in grids])
             seen_filled = jnp.stack([g.seen_filled for g in grids])

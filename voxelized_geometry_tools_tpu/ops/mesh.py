@@ -83,7 +83,6 @@ def closest_point_on_triangle(v1, v2, v3, normal, q):
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "window"))
-@functools.partial(jax.jit, static_argnames=("spec", "window"))
 def _rasterize_windows(spec: GridSpec, origin_transform: Array,
                        occupancy: Array, tri_vertices: Array,
                        min_indices: Array, max_indices: Array,

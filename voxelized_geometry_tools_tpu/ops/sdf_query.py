@@ -488,29 +488,19 @@ def compute_local_extrema_map(sdf: SignedDistanceField,
     nxt_ext = jnp.concatenate([nxt, jnp.array([n], dtype=jnp.int32)])
 
     # Pointer jumping: after ceil(log2(n)) rounds every chain has collapsed
-    # onto its terminal or into a cycle.
+    # onto its terminal or into a cycle. The cycle representative (min flat
+    # index over each node's forward orbit) rides the same doubling — after
+    # round k, rep[i] = min over the first 2^k orbit nodes — so both finish
+    # in O(log n) full-grid gathers instead of O(longest gradient chain).
     rounds = max(1, min(max_jump_rounds, int(jnp.ceil(jnp.log2(n))) + 2))
-    ptr = nxt_ext
-
-    def jump(_, p):
-        return p[p]
-
-    ptr = lax.fori_loop(0, rounds, jump, ptr)
-
-    # Cycle representative: min flat index over each cycle, propagated along
-    # the original next pointers until fixed point (cycles are tiny).
     rep0 = jnp.arange(n + 1, dtype=jnp.int32)
 
-    def rep_cond(state):
-        rep, changed = state
-        return changed
+    def jump(_, state):
+        p, rep = state
+        rep = jnp.minimum(rep, rep[p])
+        return p[p], rep
 
-    def rep_body(state):
-        rep, _ = state
-        new = jnp.minimum(rep, rep[nxt_ext])
-        return new, jnp.any(new != rep)
-
-    rep, _ = lax.while_loop(rep_cond, rep_body, (rep0, jnp.bool_(True)))
+    ptr, rep = lax.fori_loop(0, rounds, jump, (nxt_ext, rep0))
 
     core = ptr[:n]
     core_safe = jnp.minimum(core, n - 1)

@@ -49,8 +49,8 @@ def sharded_squared_edt(seed: Array, mesh: Mesh, axis_name: str = "z",
     nx, ny, nz = seed.shape
     if nx % n_shards or nz % n_shards:
         raise ValueError(
-            f"nx ({nx}) and nz ({nz}) must divide the '{axis_name}' axis "
-            f"size {n_shards}")
+            f"the '{axis_name}' axis size {n_shards} must divide both "
+            f"nx ({nx}) and nz ({nz})")
 
     def local_edt(local_seed):
         # local_seed: [nx, ny, nz / n]; X pass (binary) + Y pass are local.
@@ -178,7 +178,8 @@ def sharded_render_depth(sdf: SignedDistanceField,
     n_shards = mesh.shape[axis_name]
     if camera.height % n_shards:
         raise ValueError(
-            f"camera height {camera.height} must divide {n_shards}")
+            f"{n_shards} shards must divide camera height "
+            f"{camera.height}")
     origins, dirs = render_ops.camera_rays(camera)
 
     table_rows = corner_table.rows if corner_table is not None else None
@@ -230,7 +231,7 @@ def sharded_render_depth_grid_sharded(
     n_shards = mesh.shape[axis_name]
     nx, ny, nz = spec.counts
     if nz % n_shards:
-        raise ValueError(f"nz ({nz}) must divide {n_shards} shards")
+        raise ValueError(f"{n_shards} shards must divide nz ({nz})")
     lz = nz // n_shards
     res = jnp.float32(spec.resolution)
     if surface_threshold is None:
