@@ -14,10 +14,12 @@ TPU's vector units, so the math is reformulated:
 * **Passes 2 and 3** (general ``f``): ``d[q] = min_k (q-k)^2 + f[k]`` is
   evaluated as a blocked min-plus reduction over ``k`` tiles. O(n^2) work per
   line, but every op is a full-grid VPU op, so the machine runs at vector
-  throughput instead of chasing the sequential envelope pointer. (A Pallas
-  in-VMEM twin lives in :mod:`..kernels.edt_pallas`; measured on v5e the
-  XLA fusion is ~15% faster — 509 vs 434 M voxels/s at 512^3 — so XLA
-  stays the default.)
+  throughput instead of chasing the sequential envelope pointer. Pallas
+  twins live in :mod:`..kernels.edt_pallas`: the straight in-VMEM kernel
+  trails the XLA fusion (434 vs 523 M voxels/s at 512^3 on v5e) but the
+  *windowed* kernel — k chunks consumed outward from each q-tile with a
+  parabola-bound early exit — beats it (676 M voxels/s) and is what
+  ``backend="auto"`` picks on TPU at scale.
 
 Both formulations are *exact*: all intermediate values are squared integer
 distances, exactly representable in f32 up to 2^24 (grids beyond ~2300^3
@@ -103,31 +105,67 @@ def _parabolic_envelope_last(f: Array, block: int = 512) -> Array:
     return d
 
 
-def squared_edt(seed: Array, block: int = 512) -> Array:
+def _resolve_edt_backend(backend: str, counts) -> str:
+    """``auto`` picks the windowed Pallas kernel on TPU for grids large
+    enough to amortize its tiling (BASELINE.md: 676 vs 523 M voxels/s at
+    512^3 on v5e), the XLA min-plus everywhere else (CPU tests, virtual
+    meshes, tiny grids)."""
+    if backend != "auto":
+        return backend
+    n_lines = 1
+    for c in counts[:-1]:
+        n_lines *= int(c)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and counts[-1] >= 128 and n_lines >= 1024:
+        return "pallas-windowed"
+    return "xla"
+
+
+def _envelope_last(f: Array, block: int, backend: str) -> Array:
+    if backend == "pallas-windowed":
+        from ..kernels import edt_pallas
+        return edt_pallas.parabolic_envelope_last_pallas_windowed(
+            f, tile_lines=1024, tile_q=32)
+    if backend == "pallas":
+        from ..kernels import edt_pallas
+        return edt_pallas.parabolic_envelope_last_pallas(f)
+    return _parabolic_envelope_last(f, block)
+
+
+def squared_edt(seed: Array, block: int = 512,
+                backend: str = "auto") -> Array:
     """Exact squared Euclidean distance (voxel units) to nearest True voxel.
 
     Equivalent of seeding ``{0, +inf}`` and running
     ``ComputeDistanceFieldTransformInPlace`` along X, Y, Z
     (signed_distance_field_generation.cpp:258-391). Separable-exactness makes
     the axis order irrelevant. Returns ``+inf`` everywhere if no seed is set.
+
+    ``backend`` selects the envelope-pass implementation: ``"xla"`` (fused
+    min-plus), ``"pallas"`` / ``"pallas-windowed"`` (TPU kernels in
+    :mod:`..kernels.edt_pallas`), or ``"auto"`` (windowed kernel on TPU at
+    scale, XLA otherwise) — all exact, mirroring the reference's
+    interchangeable device backends.
     """
     seed = jnp.asarray(seed, dtype=bool)
+    resolved = _resolve_edt_backend(backend, seed.shape)
     # Axis 0 (binary fast path).
     d = jnp.moveaxis(_binary_squared_dist_last(jnp.moveaxis(seed, 0, -1)),
                      -1, 0)
     # Axis 1.
     if seed.shape[1] > 1:
         d = jnp.moveaxis(
-            _parabolic_envelope_last(jnp.moveaxis(d, 1, -1), block), -1, 1)
+            _envelope_last(jnp.moveaxis(d, 1, -1), block, resolved), -1, 1)
     # Axis 2.
     if seed.shape[2] > 1:
-        d = _parabolic_envelope_last(d, block)
+        d = _envelope_last(d, block, resolved)
     return d
 
 
 def signed_distance_from_filled_mask(is_filled: Array, resolution: float,
                                      block: int = 512,
-                                     dtype=jnp.float32) -> Array:
+                                     dtype=jnp.float32,
+                                     backend: str = "auto") -> Array:
     """Two-field signed combine: ``sqrt(d2_filled) - sqrt(d2_free)`` scaled by
     resolution (signed_distance_field_generation.hpp:85-108). Negative inside
     filled space, positive outside; ``+/-inf`` for fully empty/filled grids.
@@ -137,8 +175,8 @@ def signed_distance_from_filled_mask(is_filled: Array, resolution: float,
     the reference's two instantiations) only needs to govern the final
     sqrt/scale combine."""
     is_filled = jnp.asarray(is_filled, dtype=bool)
-    d2_filled = squared_edt(is_filled, block).astype(dtype)
-    d2_free = squared_edt(~is_filled, block).astype(dtype)
+    d2_filled = squared_edt(is_filled, block, backend).astype(dtype)
+    d2_free = squared_edt(~is_filled, block, backend).astype(dtype)
     res = jnp.asarray(resolution, dtype)
     return jnp.sqrt(d2_filled) * res - jnp.sqrt(d2_free) * res
 
