@@ -26,6 +26,7 @@ Design changes for TPU:
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -492,7 +493,7 @@ def compute_local_extrema_map(sdf: SignedDistanceField,
     # index over each node's forward orbit) rides the same doubling — after
     # round k, rep[i] = min over the first 2^k orbit nodes — so both finish
     # in O(log n) full-grid gathers instead of O(longest gradient chain).
-    rounds = max(1, min(max_jump_rounds, int(jnp.ceil(jnp.log2(n))) + 2))
+    rounds = max(1, min(max_jump_rounds, math.ceil(math.log2(max(n, 2))) + 2))
     rep0 = jnp.arange(n + 1, dtype=jnp.int32)
 
     def jump(_, state):
