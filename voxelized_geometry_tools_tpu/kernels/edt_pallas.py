@@ -82,7 +82,8 @@ def parabolic_envelope_last_pallas(f: Array, tile_lines: int = 1024,
         out_specs=pl.BlockSpec((padded_n, tile_lines), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
-                                       jnp.float32),
+                                       jnp.float32,
+                                       vma=jax.typeof(ft).vma),
         interpret=interpret,
     )(ft)
     return out[:n, :lines].T.reshape(shape)
@@ -199,7 +200,8 @@ def parabolic_envelope_last_pallas_windowed(
         out_specs=pl.BlockSpec((tile_q, tile_lines), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
-                                       jnp.float32),
+                                       jnp.float32,
+                                       vma=jax.typeof(ft).vma),
         interpret=interpret,
     )(ft)
     return out[:n, :lines].T.reshape(shape)

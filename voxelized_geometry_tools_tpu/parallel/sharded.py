@@ -43,8 +43,14 @@ Array = jnp.ndarray
 
 
 def sharded_squared_edt(seed: Array, mesh: Mesh, axis_name: str = "z",
-                        block: int = 32) -> Array:
-    """Exact squared EDT over a Z-slab-sharded ``[nx, ny, nz]`` bool grid."""
+                        block: int = 32, backend: str = "xla") -> Array:
+    """Exact squared EDT over a Z-slab-sharded ``[nx, ny, nz]`` bool grid.
+
+    ``backend`` selects the per-shard envelope implementation (see
+    :func:`...ops.edt.squared_edt`); ``"pallas-windowed"`` runs the adaptive
+    TPU kernel inside the shard_map (validated on hardware with a 1-device
+    mesh; defaults to the XLA fusion, which is what virtual CPU meshes
+    support)."""
     n_shards = mesh.shape[axis_name]
     nx, ny, nz = seed.shape
     if nx % n_shards or nz % n_shards:
@@ -59,13 +65,13 @@ def sharded_squared_edt(seed: Array, mesh: Mesh, axis_name: str = "z",
                 jnp.moveaxis(local_seed, 0, -1)), -1, 0)
         if ny > 1:
             d = jnp.moveaxis(
-                edt_ops._parabolic_envelope_last(
-                    jnp.moveaxis(d, 1, -1), block), -1, 1)
+                edt_ops._envelope_last(
+                    jnp.moveaxis(d, 1, -1), block, backend), -1, 1)
         if nz > 1:
             # Transpose through ICI: X-shard the grid, full Z locally.
             d = lax.all_to_all(d, axis_name, split_axis=0, concat_axis=2,
                                tiled=True)  # [nx/n, ny, nz]
-            d = edt_ops._parabolic_envelope_last(d, block)
+            d = edt_ops._envelope_last(d, block, backend)
             d = lax.all_to_all(d, axis_name, split_axis=2, concat_axis=0,
                                tiled=True)  # [nx, ny, nz/n]
         return d
@@ -77,12 +83,15 @@ def sharded_squared_edt(seed: Array, mesh: Mesh, axis_name: str = "z",
 
 
 def sharded_signed_distance(is_filled: Array, resolution: float, mesh: Mesh,
-                            axis_name: str = "z", block: int = 32) -> Array:
+                            axis_name: str = "z", block: int = 32,
+                            backend: str = "xla") -> Array:
     """Sharded two-field signed combine (matches
     :func:`...ops.edt.signed_distance_from_filled_mask`)."""
     is_filled = jnp.asarray(is_filled, dtype=bool)
-    d2_filled = sharded_squared_edt(is_filled, mesh, axis_name, block)
-    d2_free = sharded_squared_edt(~is_filled, mesh, axis_name, block)
+    d2_filled = sharded_squared_edt(is_filled, mesh, axis_name, block,
+                                    backend)
+    d2_free = sharded_squared_edt(~is_filled, mesh, axis_name, block,
+                                  backend)
     res = jnp.float32(resolution)
     return jnp.sqrt(d2_filled) * res - jnp.sqrt(d2_free) * res
 
