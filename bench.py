@@ -108,6 +108,28 @@ def main():
 
     hit_frac = float((np.asarray(depth) < 99.0).mean())
 
+    # --- Reference-equivalent CPU baseline -----------------------------
+    # The native C++ runtime reimplements the reference's F-H EDT exactly
+    # (native/vgt_native.cpp); measuring it on this host gives the honest
+    # same-machine CPU number the reference would post (no published
+    # numbers exist — BASELINE.md). 128^3 keeps the bench fast; the
+    # per-voxel rate is scale-stable for this O(n) transform.
+    native_edt_rate = None
+    try:
+        from voxelized_geometry_tools_tpu import native
+        if native.available():
+            n_small = 128
+            ax = np.arange(n_small)
+            sx, sy, sz = np.meshgrid(ax, ax, ax, indexing="ij", sparse=True)
+            small = (((sx - 64) ** 2 + (sy - 64) ** 2 + (sz - 64) ** 2)
+                     <= 32 * 32).astype(np.uint8)
+            native.edt_sdf(small, 0.01)  # warm the code path
+            t0 = time.monotonic()
+            native.edt_sdf(small, 0.01)
+            native_edt_rate = n_small ** 3 / (time.monotonic() - t0)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "rays_per_sec_chip_512cube_sdf_raycast",
         "value": rays_per_sec,
@@ -121,6 +143,10 @@ def main():
             "num_march_steps": NUM_STEPS,
             "roofline_rays_per_sec": ROOFLINE_RAYS,
             "hit_fraction": hit_frac,
+            "native_cpu_edt_voxels_per_sec": native_edt_rate,
+            "tpu_edt_speedup_vs_reference_cpu": (
+                edt_voxels_per_sec / native_edt_rate
+                if native_edt_rate else None),
         },
     }))
 
