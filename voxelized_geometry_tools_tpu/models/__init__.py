@@ -1,1 +1,2 @@
 from . import fusion_pipeline
+from . import online_mapper
