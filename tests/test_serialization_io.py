@@ -230,3 +230,32 @@ def test_integer_location_to_index():
     idx = np.asarray(spec.location_in_grid_frame_to_grid_index(
         jnp.asarray([1, 2, 3])))
     np.testing.assert_array_equal(idx, [4, 8, 12])
+
+
+def test_export_single_spatial_segment():
+    """ExportSpatialSegmentForDisplay(map, object_id, segment) shows only
+    that object's segment (ros_interface.cpp:1065-1107)."""
+    from voxelized_geometry_tools_tpu import TaggedObjectOccupancyComponentMap
+    from voxelized_geometry_tools_tpu.io import viz
+
+    spec = GridSpec.from_voxel_counts(1.0, (4, 4, 1))
+    m = TaggedObjectOccupancyComponentMap.create(spec, None, "w")
+    seg = np.zeros((4, 4, 1), np.uint32)
+    obj = np.zeros((4, 4, 1), np.uint32)
+    seg[0, 0, 0] = 1
+    obj[0, 0, 0] = 2
+    seg[3, 3, 0] = 1
+    obj[3, 3, 0] = 5  # same segment number, different object
+    seg[1, 1, 0] = 2
+    obj[1, 1, 0] = 2
+    m = m.replace(spatial_segment=jnp.asarray(seg), object_id=jnp.asarray(obj),
+                  number_of_spatial_segments=jnp.uint32(2))
+    marker = viz.export_spatial_segment_for_display(m, object_id=2,
+                                                    spatial_segment=1)
+    assert marker.num_cells == 1
+    np.testing.assert_allclose(marker.positions[0], [0.5, 0.5, 0.5])
+    # hot-to-cold helper: endpoints are blue (cold) and red (hot)
+    cold = viz.interpolate_hot_to_cold(np.float64(0.0), 0.0, 1.0)
+    hot = viz.interpolate_hot_to_cold(np.float64(1.0), 0.0, 1.0)
+    np.testing.assert_allclose(cold, [0, 0, 1, 1], atol=1e-6)
+    np.testing.assert_allclose(hot, [1, 0, 0, 1], atol=1e-6)

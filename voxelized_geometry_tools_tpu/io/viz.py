@@ -125,7 +125,8 @@ def export_connected_components_for_display(omap) -> VoxelMarker:
 
 
 def export_spatial_segments_for_display(omap) -> VoxelMarker:
-    """``ExportSpatialSegmentForDisplay`` (ros_interface.cpp:1065)."""
+    """All spatial segments, component-palette colored (convenience
+    extension of ``ExportSpatialSegmentForDisplay``)."""
 
     def color(seg):
         palette = np.stack([lookup_component_color(c)
@@ -136,6 +137,44 @@ def export_spatial_segments_for_display(omap) -> VoxelMarker:
 
     return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
                              color, omap.spatial_segment)
+
+
+def interpolate_hot_to_cold(value: np.ndarray, low: float,
+                            high: float) -> np.ndarray:
+    """``color_builder::InterpolateHotToCold``: blue (cold, low) -> cyan ->
+    green -> yellow -> red (hot, high); returns RGBA [..., 4], alpha 1."""
+    v = np.clip((np.asarray(value, np.float64) - low)
+                / max(high - low, 1e-300), 0.0, 1.0)
+    # Piecewise over 4 bands (standard hot-to-cold map, hot at v=1).
+    r = np.clip(4.0 * v - 2.0, 0.0, 1.0)
+    g = np.where(v < 0.5, np.clip(4.0 * v, 0.0, 1.0),
+                 np.clip(4.0 - 4.0 * v, 0.0, 1.0))
+    b = np.clip(2.0 - 4.0 * v, 0.0, 1.0)
+    return np.stack([r, g, b, np.ones_like(v)], axis=-1).astype(np.float32)
+
+
+def export_spatial_segment_for_display(omap, object_id: int,
+                                       spatial_segment: int) -> VoxelMarker:
+    """``ExportSpatialSegmentForDisplay(map, object_id, spatial_segment)``
+    (ros_interface.cpp:1065-1107): only the cells of ONE object's segment,
+    palette-colored for <22 total segments, hot-to-cold interpolated
+    otherwise."""
+    num_segments = int(omap.number_of_spatial_segments)
+
+    def color(seg, obj):
+        in_segment = (obj == np.uint32(object_id)) & (
+            seg == np.uint32(spatial_segment))
+        if num_segments < 22:
+            rgba_on = lookup_component_color(spatial_segment)
+        else:
+            rgba_on = interpolate_hot_to_cold(
+                float(spatial_segment), 0.0, float(num_segments))
+        rgba = np.zeros(seg.shape + (4,), np.float32)
+        rgba[in_segment] = rgba_on
+        return rgba
+
+    return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
+                             color, omap.spatial_segment, omap.object_id)
 
 
 def export_sdf_for_display(sdf, alpha: float = 0.5) -> VoxelMarker:
