@@ -24,11 +24,13 @@ reference's DegreeOfParallelism-invariance tests.
 import os
 
 if __name__ == "__main__":
-    os.environ.setdefault("XLA_FLAGS",
-                          "--xla_force_host_platform_device_count=8")
-    import jax
-    if jax.default_backend() == "cpu" and jax.device_count() < 8:
-        jax.config.update("jax_num_cpu_devices", 8)
+    # Must happen before any jax backend initializes: append the virtual
+    # device-count flag (setdefault would lose it when XLA_FLAGS is already
+    # set in the environment).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np
 import jax

@@ -249,7 +249,13 @@ def test_export_single_spatial_segment():
     seg[1, 1, 0] = 2
     obj[1, 1, 0] = 2
     m = m.replace(spatial_segment=jnp.asarray(seg), object_id=jnp.asarray(obj),
-                  number_of_spatial_segments=jnp.uint32(2))
+                  number_of_spatial_segments=jnp.uint32(2),
+                  spatial_segments_valid=True)
+    # Stale segments raise, mirroring NumSpatialSegments().Value().
+    import pytest
+    with pytest.raises(ValueError):
+        viz.export_spatial_segment_for_display(
+            m.replace(spatial_segments_valid=False), 2, 1)
     marker = viz.export_spatial_segment_for_display(m, object_id=2,
                                                     spatial_segment=1)
     assert marker.num_cells == 1

@@ -21,7 +21,7 @@ import numpy as np
 
 Rgba = tuple
 
-# A deterministic 20-color palette standing in for
+# A deterministic 21-color palette (+ reserved index 0) standing in for
 # common_robotics_utilities::color_builder::LookupUniqueColor; component 0
 # maps to transparent black like the reference's "no component" color.
 _UNIQUE_COLORS = np.array([
@@ -30,8 +30,11 @@ _UNIQUE_COLORS = np.array([
     (0.8, 0.1, 0.8), (0.1, 0.8, 0.8), (0.5, 0.3, 0.0), (1.0, 0.5, 0.0),
     (0.5, 0.0, 1.0), (0.0, 0.5, 1.0), (0.6, 0.6, 0.6), (0.3, 0.0, 0.0),
     (0.0, 0.3, 0.0), (0.0, 0.0, 0.3), (0.9, 0.7, 0.7), (0.7, 0.9, 0.7),
-    (0.7, 0.7, 0.9), (0.4, 0.2, 0.6), (0.2, 0.6, 0.4),
-], dtype=np.float32)
+    (0.7, 0.7, 0.9), (0.4, 0.2, 0.6), (0.2, 0.6, 0.4), (0.9, 0.4, 0.6),
+    (0.4, 0.9, 0.2),
+], dtype=np.float32)  # 22 entries: index 0 reserved, 1..21 distinct
+# (the reference's single-segment exporter switches to hot-to-cold only at
+# >= 22 segments, ros_interface.cpp:1081 — so 21 palette slots must exist)
 
 
 @dataclasses.dataclass
@@ -158,7 +161,11 @@ def export_spatial_segment_for_display(omap, object_id: int,
     """``ExportSpatialSegmentForDisplay(map, object_id, spatial_segment)``
     (ros_interface.cpp:1065-1107): only the cells of ONE object's segment,
     palette-colored for <22 total segments, hot-to-cold interpolated
-    otherwise."""
+    otherwise. Raises if the spatial segments are stale (the reference's
+    ``NumSpatialSegments().Value()`` throws in that state)."""
+    if not getattr(omap, "spatial_segments_valid", True):
+        raise ValueError(
+            "spatial segments are stale; run update_spatial_segments first")
     num_segments = int(omap.number_of_spatial_segments)
 
     def color(seg, obj):

@@ -19,12 +19,10 @@ refreshed SDF. This model packages that loop TPU-natively:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from ..core.grid import GridSpec
@@ -47,8 +45,26 @@ class OnlineMapper:
         self._options = filter_options
         self._max_steps = max_steps
         self._sdf_cache = {}
-        self._integrate_cache = {}
         self._frames_integrated = 0
+
+        # jax.jit's own aval-keyed cache handles per-shape (and per-scan-
+        # length) specialization; one jitted callable per code path suffices.
+        def integrate_one(occupancy, origin_transform, cloud):
+            grid = voxelize.raycast_pointcloud(
+                spec, origin_transform, cloud, self._max_steps)
+            return voxelize.combine_and_filter(
+                self._options, grid.seen_free[None],
+                grid.seen_filled[None], occupancy)
+
+        def integrate_seq(occupancy, origin_transform, frames):
+            def step(occ, frame):
+                return integrate_one(occ, origin_transform, frame), None
+
+            occ, _ = lax.scan(step, occupancy, frames)
+            return occ
+
+        self._integrate_one = jax.jit(integrate_one)
+        self._integrate_seq = jax.jit(integrate_seq)
 
     # -- state ------------------------------------------------------------
 
@@ -62,27 +78,11 @@ class OnlineMapper:
 
     # -- integration --------------------------------------------------------
 
-    def _integrate_fn(self, key):
-        fn = self._integrate_cache.get(key)
-        if fn is None:
-            spec = self._map.spec
-
-            def run(occupancy, origin_transform, cloud):
-                grid = voxelize.raycast_pointcloud(
-                    spec, origin_transform, cloud, self._max_steps)
-                return voxelize.combine_and_filter(
-                    self._options, grid.seen_free[None],
-                    grid.seen_filled[None], occupancy)
-
-            fn = jax.jit(run)
-            self._integrate_cache[key] = fn
-        return fn
-
     def integrate(self, cloud: voxelize.PointCloud) -> OccupancyMap:
         """Carve one depth frame into the running map (filled cells latch,
         per the ``CountsSeenAs`` fuse over the current occupancy)."""
-        fn = self._integrate_fn(("single", cloud.points.shape))
-        occ = fn(self._map.occupancy, self._map.origin_transform, cloud)
+        occ = self._integrate_one(self._map.occupancy,
+                                  self._map.origin_transform, cloud)
         self._map = self._map.replace(occupancy=occ)
         self._sdf_cache.clear()
         self._frames_integrated += 1
@@ -106,26 +106,8 @@ class OnlineMapper:
             max_range=jnp.stack([jnp.asarray(c.max_range, jnp.float32)
                                  for c in clouds]))
 
-        key = ("scan", len(clouds), next(iter(shapes)))
-        fn = self._integrate_cache.get(key)
-        if fn is None:
-            spec = self._map.spec
-
-            def run(occupancy, origin_transform, frames):
-                def step(occ, frame):
-                    grid = voxelize.raycast_pointcloud(
-                        spec, origin_transform, frame, self._max_steps)
-                    return voxelize.combine_and_filter(
-                        self._options, grid.seen_free[None],
-                        grid.seen_filled[None], occ), None
-
-                occ, _ = lax.scan(step, occupancy, frames)
-                return occ
-
-            fn = jax.jit(run)
-            self._integrate_cache[key] = fn
-
-        occ = fn(self._map.occupancy, self._map.origin_transform, stacked)
+        occ = self._integrate_seq(self._map.occupancy,
+                                  self._map.origin_transform, stacked)
         self._map = self._map.replace(occupancy=occ)
         self._sdf_cache.clear()
         self._frames_integrated += len(clouds)

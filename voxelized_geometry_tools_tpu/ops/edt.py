@@ -129,6 +129,8 @@ def _envelope_last(f: Array, block: int, backend: str) -> Array:
     if backend == "pallas":
         from ..kernels import edt_pallas
         return edt_pallas.parabolic_envelope_last_pallas(f)
+    if backend != "xla":
+        raise ValueError(f"Unknown EDT backend {backend!r}")
     return _parabolic_envelope_last(f, block)
 
 

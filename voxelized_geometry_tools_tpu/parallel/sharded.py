@@ -53,6 +53,9 @@ def sharded_squared_edt(seed: Array, mesh: Mesh, axis_name: str = "z",
     support)."""
     n_shards = mesh.shape[axis_name]
     nx, ny, nz = seed.shape
+    backend = edt_ops._resolve_edt_backend(backend, seed.shape)
+    if backend not in ("xla", "pallas", "pallas-windowed"):
+        raise ValueError(f"Unknown EDT backend {backend!r}")
     if nx % n_shards or nz % n_shards:
         raise ValueError(
             f"the '{axis_name}' axis size {n_shards} must divide both "
@@ -100,10 +103,11 @@ def sharded_extract_sdf(occupancy: Array, spec: GridSpec, origin_transform,
                         mesh: Mesh, axis_name: str = "z", frame: str = "",
                         unknown_is_filled: bool = True,
                         oob_value: float = float("inf"),
-                        block: int = 32) -> SignedDistanceField:
+                        block: int = 32,
+                        backend: str = "xla") -> SignedDistanceField:
     mask = edt_ops.filled_mask_from_occupancy(occupancy, unknown_is_filled)
     values = sharded_signed_distance(mask, spec.resolution, mesh, axis_name,
-                                     block)
+                                     block, backend)
     return SignedDistanceField.create(
         spec=spec, distances=values, origin_transform=origin_transform,
         frame=frame, oob_value=oob_value, locked=True)
