@@ -38,3 +38,23 @@ def test_squared_edt_pallas_empty_and_full():
     full = jnp.ones((4, 5, 6), bool)
     assert bool(jnp.all(edt_pallas.squared_edt_pallas(
         full, tile_lines=8, interpret=True) == 0.0))
+
+
+@pytest.mark.parametrize("shape", [(7, 13, 37), (3, 50), (1, 1, 4)])
+def test_envelope_bestfirst_matches_xla(shape):
+    rng = np.random.default_rng(3)
+    f = rng.uniform(0, 300, shape).astype(np.float32)
+    f[rng.uniform(size=shape) < 0.4] = np.inf
+    ref = np.asarray(edt._parabolic_envelope_last(jnp.asarray(f)))
+    got = np.asarray(edt_pallas.parabolic_envelope_last_pallas_bestfirst(
+        jnp.asarray(f), tile_lines=8, tile_q=16, interpret=True))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_bestfirst_degenerate_fields():
+    for fill in (np.inf, 0.0, 1e6):
+        f = np.full((6, 40), fill, np.float32)
+        ref = np.asarray(edt._parabolic_envelope_last(jnp.asarray(f)))
+        got = np.asarray(edt_pallas.parabolic_envelope_last_pallas_bestfirst(
+            jnp.asarray(f), tile_lines=8, tile_q=8, interpret=True))
+        np.testing.assert_array_equal(ref, got)

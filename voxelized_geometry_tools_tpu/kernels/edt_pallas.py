@@ -205,3 +205,97 @@ def parabolic_envelope_last_pallas_windowed(
         interpret=interpret,
     )(ft)
     return out[:n, :lines].T.reshape(shape)
+
+
+def _bestfirst_kernel(ft_ref, out_ref):
+    """Value-aware best-first variant: chunks are consumed in order of their
+    admissible bound ``geom(tile, chunk)^2 + min f[chunk]`` and the march
+    stops when the best remaining bound cannot improve the tile's worst
+    entry.
+
+    The bound lower-bounds every candidate ``(q-k)^2 + f[k, l]`` with ``k``
+    in the chunk and ``q`` in the tile, so stopping at
+    ``min_remaining_bound >= max(d)`` is exact. Unlike the distance-ordered
+    walk (:func:`_windowed_kernel`), chunks whose values are huge or ``inf``
+    (empty space in a binary-seeded EDT) are never processed at all — the
+    work per tile adapts to where seeds actually are, not just how far the
+    nearest one is."""
+    n = ft_ref.shape[0]
+    tq = out_ref.shape[0]
+    j = pl.program_id(1)
+    q0 = j * tq
+    q = (q0 + lax.broadcasted_iota(jnp.int32, (tq, 1), 0)).astype(jnp.float32)
+    ch = _UNROLL
+    n_ch = n // ch
+
+    # Per-chunk minima over the whole [ch, tile_lines] chunk (scalar per
+    # chunk; one pass over the block).
+    f_all = ft_ref[:, :]
+    cmin = jnp.min(f_all.reshape(n_ch, ch * f_all.shape[1]), axis=1,
+                   keepdims=True).reshape(1, n_ch)
+
+    # Admissible per-chunk bound: squared distance from the q-tile to the
+    # chunk's nearest k, plus the chunk's min value.
+    c_idx = lax.broadcasted_iota(jnp.int32, (1, n_ch), 1)
+    gap_lo = q0 - (c_idx * ch + ch - 1)
+    gap_hi = c_idx * ch - (q0 + tq - 1)
+    geom = jnp.maximum(jnp.maximum(gap_lo, gap_hi), 0).astype(jnp.float32)
+    bounds = geom * geom + cmin
+
+    def proc_chunk(c, d):
+        base = c * ch
+        fk = ft_ref[pl.ds(base, ch), :]
+        basef = base.astype(jnp.float32)
+        for u in range(ch):
+            delta = q - (basef + u)
+            d = jnp.minimum(d, delta * delta + fk[u:u + 1, :])
+        return d
+
+    def cond(state):
+        d, b = state
+        return jnp.min(b) < jnp.max(d)
+
+    def body(state):
+        d, b = state
+        c_star = jnp.argmin(b[0]).astype(jnp.int32)
+        d = proc_chunk(c_star, d)
+        b = jnp.where(c_idx == c_star, jnp.inf, b)
+        return d, b
+
+    d0 = jnp.full(out_ref.shape, jnp.inf, dtype=jnp.float32)
+    d, _ = lax.while_loop(cond, body, (d0, bounds))
+    out_ref[:, :] = d
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_lines", "tile_q", "interpret"))
+def parabolic_envelope_last_pallas_bestfirst(
+        f: Array, tile_lines: int = 1024, tile_q: int = 32,
+        interpret: bool = False) -> Array:
+    """Exact 1-D squared-distance transform, best-first chunk order (see
+    :func:`_bestfirst_kernel`). Requires ``f >= 0`` (true for EDT fields)."""
+    f = jnp.asarray(f, jnp.float32)
+    shape = f.shape
+    n = shape[-1]
+    lines = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+
+    pad_n = (-n) % max(_UNROLL, tile_q)
+    pad_l = (-lines) % tile_lines
+    ft = f.reshape(lines, n).T
+    if pad_n or pad_l:
+        ft = jnp.pad(ft, ((0, pad_n), (0, pad_l)), constant_values=jnp.inf)
+    padded_n, padded_lines = ft.shape
+
+    out = pl.pallas_call(
+        _bestfirst_kernel,
+        grid=(padded_lines // tile_lines, padded_n // tile_q),
+        in_specs=[pl.BlockSpec((padded_n, tile_lines), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile_q, tile_lines), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
+                                       jnp.float32,
+                                       vma=jax.typeof(ft).vma),
+        interpret=interpret,
+    )(ft)
+    return out[:n, :lines].T.reshape(shape)

@@ -106,8 +106,8 @@ def _parabolic_envelope_last(f: Array, block: int = 512) -> Array:
 
 
 def _resolve_edt_backend(backend: str, counts) -> str:
-    """``auto`` picks the windowed Pallas kernel on TPU for grids large
-    enough to amortize its tiling (BASELINE.md: 676 vs 523 M voxels/s at
+    """``auto`` picks the best-first Pallas kernel on TPU for grids large
+    enough to amortize its tiling (BASELINE.md: 757 vs 523 M voxels/s at
     512^3 on v5e), the XLA min-plus everywhere else (CPU tests, virtual
     meshes, tiny grids)."""
     if backend != "auto":
@@ -117,15 +117,22 @@ def _resolve_edt_backend(backend: str, counts) -> str:
         n_lines *= int(c)
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and counts[-1] >= 128 and n_lines >= 1024:
-        return "pallas-windowed"
+        return "pallas-bestfirst"
     return "xla"
 
 
 def _envelope_last(f: Array, block: int, backend: str) -> Array:
-    if backend == "pallas-windowed":
+    if backend in ("pallas-windowed", "pallas-bestfirst"):
         from ..kernels import edt_pallas
+        lines = 1
+        for c in f.shape[:-1]:
+            lines *= int(c)
+        tl = 2048 if lines >= 2048 else 1024
+        if backend == "pallas-bestfirst":
+            return edt_pallas.parabolic_envelope_last_pallas_bestfirst(
+                f, tile_lines=tl, tile_q=64)
         return edt_pallas.parabolic_envelope_last_pallas_windowed(
-            f, tile_lines=1024, tile_q=32)
+            f, tile_lines=tl, tile_q=32)
     if backend == "pallas":
         from ..kernels import edt_pallas
         return edt_pallas.parabolic_envelope_last_pallas(f)
@@ -144,10 +151,10 @@ def squared_edt(seed: Array, block: int = 512,
     the axis order irrelevant. Returns ``+inf`` everywhere if no seed is set.
 
     ``backend`` selects the envelope-pass implementation: ``"xla"`` (fused
-    min-plus), ``"pallas"`` / ``"pallas-windowed"`` (TPU kernels in
-    :mod:`..kernels.edt_pallas`), or ``"auto"`` (windowed kernel on TPU at
-    scale, XLA otherwise) — all exact, mirroring the reference's
-    interchangeable device backends.
+    min-plus), ``"pallas"`` / ``"pallas-windowed"`` / ``"pallas-bestfirst"``
+    (TPU kernels in :mod:`..kernels.edt_pallas`), or ``"auto"``
+    (best-first kernel on TPU at scale, XLA otherwise) — all exact,
+    mirroring the reference's interchangeable device backends.
     """
     seed = jnp.asarray(seed, dtype=bool)
     resolved = _resolve_edt_backend(backend, seed.shape)

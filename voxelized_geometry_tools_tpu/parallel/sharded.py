@@ -54,7 +54,8 @@ def sharded_squared_edt(seed: Array, mesh: Mesh, axis_name: str = "z",
     n_shards = mesh.shape[axis_name]
     nx, ny, nz = seed.shape
     backend = edt_ops._resolve_edt_backend(backend, seed.shape)
-    if backend not in ("xla", "pallas", "pallas-windowed"):
+    if backend not in ("xla", "pallas", "pallas-windowed",
+                       "pallas-bestfirst"):
         raise ValueError(f"Unknown EDT backend {backend!r}")
     if nx % n_shards or nz % n_shards:
         raise ValueError(
