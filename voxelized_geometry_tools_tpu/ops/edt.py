@@ -122,6 +122,10 @@ def _resolve_edt_backend(backend: str, counts) -> str:
 
 
 def _envelope_last(f: Array, block: int, backend: str) -> Array:
+    if backend == "auto":
+        # Resolved per pass: an anisotropic grid can be large along one
+        # axis and tiny along another, and the kernels tile per-axis.
+        backend = _resolve_edt_backend("auto", f.shape)
     if backend in ("pallas-windowed", "pallas-bestfirst"):
         from ..kernels import edt_pallas
         lines = 1
@@ -157,17 +161,16 @@ def squared_edt(seed: Array, block: int = 512,
     mirroring the reference's interchangeable device backends.
     """
     seed = jnp.asarray(seed, dtype=bool)
-    resolved = _resolve_edt_backend(backend, seed.shape)
     # Axis 0 (binary fast path).
     d = jnp.moveaxis(_binary_squared_dist_last(jnp.moveaxis(seed, 0, -1)),
                      -1, 0)
     # Axis 1.
     if seed.shape[1] > 1:
         d = jnp.moveaxis(
-            _envelope_last(jnp.moveaxis(d, 1, -1), block, resolved), -1, 1)
+            _envelope_last(jnp.moveaxis(d, 1, -1), block, backend), -1, 1)
     # Axis 2.
     if seed.shape[2] > 1:
-        d = _envelope_last(d, block, resolved)
+        d = _envelope_last(d, block, backend)
     return d
 
 
