@@ -31,3 +31,50 @@ def test_trace_writes(tmp_path):
     with trace(str(tmp_path)):
         (jnp.ones(64) * 3.0).sum()
     assert any(tmp_path.iterdir())
+
+
+def test_quaternion_round_trip():
+    """matrix -> quaternion -> matrix round-trips for random rotations,
+    including trace<=0 branches (Shepperd)."""
+    import numpy as np
+    from voxelized_geometry_tools_tpu.core import transforms
+
+    rng = np.random.default_rng(5)
+    mats = []
+    for _ in range(20):
+        a = rng.standard_normal((3, 3))
+        q, _ = np.linalg.qr(a)
+        q *= np.sign(np.linalg.det(q))
+        mats.append(q)
+    # 180-degree rotations exercise the non-positive-trace branches.
+    mats.append(np.diag([1.0, -1.0, -1.0]))
+    mats.append(np.diag([-1.0, 1.0, -1.0]))
+    mats.append(np.diag([-1.0, -1.0, 1.0]))
+    for m in mats:
+        quat = transforms.rotation_matrix_to_quaternion(m)
+        back = np.asarray(transforms.quaternion_to_rotation_matrix(quat))
+        np.testing.assert_allclose(back, m, atol=1e-6)
+
+    t, quat = transforms.isometry_to_pose(
+        transforms.isometry_from_quaternion_translation(
+            [0.5, 0.5, 0.5, 0.5], (1.0, 2.0, 3.0)))
+    np.testing.assert_allclose(t, [1.0, 2.0, 3.0], atol=1e-6)
+    np.testing.assert_allclose(np.abs(quat), [0.5, 0.5, 0.5, 0.5], atol=1e-6)
+
+
+def test_voxel_marker_pose_quaternion():
+    import numpy as np
+    from voxelized_geometry_tools_tpu import GridSpec, OccupancyMap
+    from voxelized_geometry_tools_tpu.core import transforms
+    from voxelized_geometry_tools_tpu.io import viz
+
+    spec = GridSpec.from_voxel_counts(1.0, (2, 2, 2))
+    origin = transforms.isometry_from_axis_angle((0, 0, 1), 0.7)
+    origin = np.asarray(origin).copy()
+    origin[:3, 3] = (1.0, -2.0, 0.5)
+    m = OccupancyMap.create(spec, origin, "w")
+    marker = viz.export_occupancy_for_display(m)
+    t, q = marker.pose_translation_quaternion()
+    np.testing.assert_allclose(t, [1.0, -2.0, 0.5], atol=1e-6)
+    back = np.asarray(transforms.quaternion_to_rotation_matrix(q))
+    np.testing.assert_allclose(back, origin[:3, :3], atol=1e-5)

@@ -58,6 +58,40 @@ def isometry_from_quaternion_translation(quaternion, translation,
     return isometry_from_rotation_translation(rot, translation, dtype=dtype)
 
 
+def rotation_matrix_to_quaternion(rotation) -> np.ndarray:
+    """Quaternion ``(w, x, y, z)`` from a rotation matrix (host-side,
+    Shepperd's branch selection for numerical robustness). Inverse of
+    :func:`quaternion_to_rotation_matrix`; used to emit the
+    translation+quaternion pose of ``geometry_msgs::Pose``
+    (``EigenIsometry3dToGeometryPose``, used at ros_interface.hpp:116-121)."""
+    m = np.asarray(rotation, np.float64)[:3, :3]
+    t = np.trace(m)
+    if t > 0:
+        r = np.sqrt(1.0 + t)
+        w = 0.5 * r
+        s = 0.5 / r
+        q = np.array([w, (m[2, 1] - m[1, 2]) * s, (m[0, 2] - m[2, 0]) * s,
+                      (m[1, 0] - m[0, 1]) * s])
+    else:
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        r = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k])
+        s = 0.5 / r
+        q = np.zeros(4)
+        q[0] = (m[k, j] - m[j, k]) * s
+        q[1 + i] = 0.5 * r
+        q[1 + j] = (m[j, i] + m[i, j]) * s
+        q[1 + k] = (m[k, i] + m[i, k]) * s
+    return (q / np.linalg.norm(q)).astype(np.float64)
+
+
+def isometry_to_pose(m) -> tuple:
+    """Split a ``[4, 4]`` isometry into ``(translation[3], quaternion_wxyz
+    [4])`` — the payload of ``geometry_msgs::Pose``."""
+    m = np.asarray(m, np.float64)
+    return m[:3, 3].copy(), rotation_matrix_to_quaternion(m)
+
+
 def isometry_from_axis_angle(axis, angle, dtype=jnp.float32) -> Array:
     """Rotation-only isometry from an axis-angle (Rodrigues)."""
     axis = jnp.asarray(axis, dtype=dtype)

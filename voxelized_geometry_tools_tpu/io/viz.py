@@ -50,6 +50,13 @@ class VoxelMarker:
     def num_cells(self) -> int:
         return self.positions.shape[0]
 
+    def pose_translation_quaternion(self):
+        """The marker pose as ``(translation[3], quaternion_wxyz[4])`` —
+        what a ROS shim puts in ``Marker.pose``
+        (``EigenIsometry3dToGeometryPose``, ros_interface.hpp:116-121)."""
+        from ..core.transforms import isometry_to_pose
+        return isometry_to_pose(self.pose)
+
 
 def lookup_component_color(component: int, alpha: float = 1.0) -> np.ndarray:
     """``LookupComponentColor`` (ros_interface.hpp:85-90)."""
