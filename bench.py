@@ -8,13 +8,14 @@ Baseline (``vs_baseline``): the reference publishes no numbers (BASELINE.md),
 so the denominator is the 70%-of-roofline north-star target where the
 roofline is the *measured physical limit of the op that bounds the
 computation*. Sphere tracing is bound by gathers: on v5e the gather engine
-issues ~26 ns per gathered row regardless of row width (measured via
-/tmp-style microbenchmarks, ~38M rows/s), so with the CornerTable path
-(1 gather per trilinear sample — see ops/sdf_query.py) a 64-step march has a
-hard ceiling of 38e6/64 ~= 0.6M rays/s and empty-space skipping is what buys
-the rest. We keep the original ambitious fixed target of 35M rays/s (= 70% of
-the 32-byte-transaction HBM roofline for one-sample rays) so ``vs_baseline``
-stays comparable across rounds.
+issues ~9.3 ns per gathered row at multi-million-row batches (re-measured by
+benchmarks/roofline.py; an earlier 26 ns figure was a small-batch artifact),
+independent of row width 4-512 B and table size 0.5-4 GiB. With the
+CornerTable path (1 gather per trilinear sample — see ops/sdf_query.py) and
+>=6 samples/ray for hit certification, the practical ceiling for this scene
+is ~6M rays/s (BASELINE.md). We keep the original ambitious fixed target of
+35M rays/s (= 70% of the 32-byte-transaction HBM roofline for one-sample
+rays) so ``vs_baseline`` stays comparable across rounds.
 
 Timing note: ``block_until_ready`` is unreliable through the axon TPU tunnel
 (returns early), so every timed section forces a scalar read from the result

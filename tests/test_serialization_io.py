@@ -265,3 +265,144 @@ def test_export_single_spatial_segment():
     hot = viz.interpolate_hot_to_cold(np.float64(1.0), 0.0, 1.0)
     np.testing.assert_allclose(cold, [0, 0, 1, 1], atol=1e-6)
     np.testing.assert_allclose(hot, [1, 0, 0, 1], atol=1e-6)
+
+
+def make_dsh_map():
+    from voxelized_geometry_tools_tpu.core.dsh import (
+        DSHGridSizes, DynamicSpatialHashedOccupancyMap)
+    m = DynamicSpatialHashedOccupancyMap(
+        DSHGridSizes(0.25, (4, 4, 4)), default_occupancy=0.5, frame="dsh")
+    m.set_location((0.1, 0.1, 0.1), 1.0)
+    m.set_location((-0.9, 0.3, 0.1), 0.0)
+    m.set_location((3.0, 3.0, 3.0), 1.0)
+    return m
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_dsh_generic_loader_round_trip(tmp_path, compress):
+    """The generic save/load path must route DMGZ/DMGR payloads to the DSH
+    deserializer (ros_interface.hpp:597-600 dispatch parity)."""
+    from voxelized_geometry_tools_tpu.core.dsh import (
+        DynamicSpatialHashedOccupancyMap)
+    m = make_dsh_map()
+    path = str(tmp_path / "map.dsh")
+    serialization.save_to_file(m, path, compress=compress)
+    loaded = serialization.load_from_file(path)
+    assert isinstance(loaded, DynamicSpatialHashedOccupancyMap)
+    assert loaded.frame == "dsh"
+    assert loaded.num_chunks == m.num_chunks
+    for p in [(0.1, 0.1, 0.1), (-0.9, 0.3, 0.1), (3.0, 3.0, 3.0),
+              (10.0, 10.0, 10.0)]:
+        v0, s0 = m.get_location(p)
+        v1, s1 = loaded.get_location(p)
+        assert v0 == v1 and s0 == s1
+
+
+def test_dsh_message_round_trip():
+    """DynamicSpatialHashedOccupancyMapMessage wrap/unwrap
+    (ros_interface.hpp:597-600)."""
+    from voxelized_geometry_tools_tpu.core.dsh import (
+        DynamicSpatialHashedOccupancyMap)
+    m = make_dsh_map()
+    msg = messages.get_message_representation(m, compress=True)
+    assert msg["header"]["frame_id"] == "dsh"
+    loaded = messages.load_from_message_representation(msg)
+    assert isinstance(loaded, DynamicSpatialHashedOccupancyMap)
+    v, s = loaded.get_location((0.1, 0.1, 0.1))
+    assert v == 1.0
+
+
+def test_version1_payload_accepted():
+    """Version-1 payloads (pre component-metadata block) still load: the v2
+    additions default to invalid/zero when absent."""
+    import struct
+    m = patterned_maps()[1]  # OccupancyComponentMap
+    data = serialization.serialize(m)
+    # Strip the v2 component-metadata block (u8 + u32 after the 8-byte
+    # version/kind header) and rewrite the version word to 1.
+    v1 = struct.pack("<II", 1, 2) + data[8 + 5:]
+    loaded = serialization.deserialize(v1)
+    assert type(loaded) is type(m)
+    assert bool(loaded.components_valid) is False
+    assert int(loaded.number_of_components) == 0
+    np.testing.assert_array_equal(np.asarray(loaded.occupancy),
+                                  np.asarray(m.occupancy))
+
+
+def test_separate_display_partitions_cells():
+    """ExportForSeparateDisplay splits the map into collision/free/unknown
+    markers whose cells partition the grid (ros_interface.hpp:495-498)."""
+    m = patterned_maps()[0]
+    occ = np.asarray(m.occupancy)
+    markers = viz.export_for_separate_display(m)
+    assert [mk.ns for mk in markers] == ["collision_only", "free_only",
+                                        "unknown_only"]
+    counts = [mk.num_cells for mk in markers]
+    assert counts[0] == int((occ > 0.5).sum())
+    assert counts[1] == int((occ < 0.5).sum())
+    assert counts[2] == int((occ == 0.5).sum())
+    assert sum(counts) == occ.size
+    # Each marker is single-colored with the right RGBA.
+    np.testing.assert_allclose(markers[0].colors,
+                               np.tile([1, 0, 0, 0.5], (counts[0], 1)))
+    np.testing.assert_allclose(markers[1].colors,
+                               np.tile([0, 1, 0, 0.5], (counts[1], 1)))
+
+
+def test_classified_and_separate_surfaces_display():
+    from voxelized_geometry_tools_tpu.ops import topology
+    m = patterned_maps()[0]
+    surf = np.asarray(topology.is_surface_index(m.occupancy))
+    occ = np.asarray(m.occupancy)
+    single = viz.export_classified_surfaces_for_display(m)
+    assert single.ns == "occupancy_surfaces"
+    assert single.num_cells == int(surf.sum())
+    markers = viz.export_surfaces_for_separate_display(m)
+    assert [mk.ns for mk in markers] == [
+        "collision_surfaces_only", "free_surfaces_only",
+        "unknown_surfaces_only"]
+    assert markers[0].num_cells == int((surf & (occ > 0.5)).sum())
+    assert markers[1].num_cells == int((surf & (occ < 0.5)).sum())
+    assert markers[2].num_cells == int((surf & (occ == 0.5)).sum())
+    assert sum(mk.num_cells for mk in markers) == int(surf.sum())
+
+
+def test_tagged_objects_display_with_color_map():
+    """ExportForDisplay(map, object_color_map) per-object coloring
+    (ros_interface.hpp:611-614)."""
+    m = patterned_maps()[2]  # TaggedObjectOccupancyMap, object ids 0..3
+    obj = np.asarray(m.object_id)
+    color_map = {1: (1.0, 0.0, 0.0, 1.0), 3: (0.0, 0.0, 1.0, 0.25)}
+    marker = viz.export_tagged_objects_for_display(m, color_map)
+    assert marker.ns == "occupancy_map_objects"
+    # Only ids 1 and 3 are mapped -> only their cells appear.
+    assert marker.num_cells == int(((obj == 1) | (obj == 3)).sum())
+    reds = (marker.colors == np.float32([1, 0, 0, 1])).all(axis=1).sum()
+    blues = (marker.colors == np.float32([0, 0, 1, 0.25])).all(axis=1).sum()
+    assert reds == int((obj == 1).sum())
+    assert blues == int((obj == 3).sum())
+    # Default: palette colors, id 0 transparent.
+    marker = viz.export_tagged_objects_for_display(m)
+    assert marker.num_cells == int((obj != 0).sum())
+
+
+def test_tagged_object_surfaces_display():
+    from voxelized_geometry_tools_tpu.ops import topology
+    m = patterned_maps()[2]
+    obj = np.asarray(m.object_id)
+    surf = np.asarray(topology.is_surface_index(m.occupancy))
+    marker = viz.export_tagged_object_surfaces_for_display(
+        m, {2: (0.0, 1.0, 0.0, 1.0)})
+    assert marker.ns == "occupancy_surfaces"
+    assert marker.num_cells == int((surf & (obj == 2)).sum())
+
+
+def test_dsh_separate_display():
+    m = make_dsh_map()
+    markers = viz.export_dsh_for_separate_display(m)
+    assert [mk.ns for mk in markers] == ["collision_only", "free_only",
+                                        "unknown_only"]
+    # Two cells were written filled(1.0), one free(0.0); the rest of the
+    # allocated chunks default to 0.5 (unknown).
+    assert markers[0].num_cells == 2
+    assert markers[1].num_cells == 1

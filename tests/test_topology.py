@@ -192,3 +192,25 @@ def test_candidate_corner():
     # Out of grid -> invalid.
     result3 = map_ops.check_if_candidate_corner(omap, np.array([-1, 0, 0]))
     assert not bool(result3.valid)
+
+
+def test_batched_topology_matches_per_component():
+    """The one-pass all-components topology (_holes_voids_all_device) must
+    produce identical hole/void dicts to the per-component device path on a
+    speckled multi-component grid."""
+    rng = np.random.default_rng(11)
+    occ = (rng.random((9, 9, 9)) < 0.35).astype(np.float32)
+    spec = GridSpec.from_voxel_counts(1.0, occ.shape)
+    omap = OccupancyComponentMap.create(spec).set_occupancy(jnp.asarray(occ))
+    omap, invariants = map_ops.compute_component_topology(
+        omap, topology.FILLED_COMPONENTS)
+    assert len(invariants) >= 3  # genuinely multi-component
+    mask = topology.component_surfaces_mask(
+        omap.occupancy, omap.component, topology.FILLED_COMPONENTS)
+    comp_np = np.asarray(omap.component)
+    mask_np = np.asarray(mask)
+    expected = {}
+    for c in sorted(np.unique(comp_np[mask_np])):
+        expected[int(c)] = topology.compute_holes_and_voids(
+            omap.component, mask, int(c))
+    assert invariants == expected

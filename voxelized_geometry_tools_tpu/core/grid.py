@@ -110,10 +110,16 @@ class GridSpec:
 
     # -- index math (pure, jit/vmap friendly) ------------------------------
 
-    def grid_index_to_location_in_grid_frame(self, index) -> Array:
-        """Cell-center location in grid frame for integer index [..., 3]."""
+    def grid_index_to_location_in_grid_frame(self, index,
+                                             dtype=jnp.float32) -> Array:
+        """Cell-center location in grid frame for integer index [..., 3].
+
+        ``dtype`` selects the scalar type of the result (float64 callers —
+        e.g. queries against a ``SignedDistanceField<double>`` — pass their
+        field dtype so cell centers don't round through float32)."""
         idx = jnp.asarray(index)
-        return (idx.astype(jnp.float32) + 0.5) * jnp.float32(self.resolution)
+        dt = jnp.dtype(dtype)
+        return (idx.astype(dt) + dt.type(0.5)) * dt.type(self.resolution)
 
     def location_in_grid_frame_to_grid_index(self, p_grid) -> Array:
         """floor(p / resolution) per axis; may be out of bounds. [..., 3]."""

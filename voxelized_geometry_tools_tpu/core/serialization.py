@@ -53,6 +53,7 @@ _KIND_OCCUPANCY_COMPONENT = 2
 _KIND_TAGGED = 3
 _KIND_TAGGED_COMPONENT = 4
 _KIND_SDF = 5
+_KIND_DSH = 6  # payload owned by core.dsh (version 1 layout)
 
 _DTYPE_TAGS = {np.dtype(np.float32): 1, np.dtype(np.uint32): 2,
                np.dtype(np.int32): 3, np.dtype(np.float64): 4}
@@ -125,7 +126,11 @@ def _map_kind_and_channels(m) -> Tuple[int, Dict[str, np.ndarray], dict]:
 
 
 def serialize(m) -> bytes:
-    """Serialize any map/SDF to the VGT-TPU v2 payload."""
+    """Serialize any map/SDF to the VGT-TPU v2 payload (DSH maps use their
+    own kind-6 payload, core/dsh.py)."""
+    from .dsh import DynamicSpatialHashedOccupancyMap
+    if isinstance(m, DynamicSpatialHashedOccupancyMap):
+        return m.serialize()
     kind, channels, extra = _map_kind_and_channels(m)
     buf = io.BytesIO()
     buf.write(struct.pack("<II", _VERSION, kind))
@@ -151,10 +156,18 @@ def serialize(m) -> bytes:
 
 
 def deserialize(data: bytes):
-    """Deserialize a VGT-TPU v2 payload back into the matching map type."""
+    """Deserialize a VGT-TPU payload (v1 or v2) into the matching map type.
+
+    Kind 6 (DSH) is routed to the chunked-map deserializer, mirroring the
+    generic loader's dispatch in the reference (ros_interface.hpp:597-600).
+    Version-1 payloads are accepted: v2 only added the component-metadata
+    block, which defaults to invalid/zero when absent."""
     buf = io.BytesIO(data)
     version, kind = struct.unpack("<II", buf.read(8))
-    if version != _VERSION:
+    if kind == _KIND_DSH:
+        from .dsh import DynamicSpatialHashedOccupancyMap
+        return DynamicSpatialHashedOccupancyMap.deserialize(data)
+    if version not in (1, _VERSION):
         raise ValueError(f"Unsupported format version {version}")
     locked = False
     oob_value = float("inf")
@@ -164,13 +177,20 @@ def deserialize(data: bytes):
         locked = bool(locked_u8)
         (oob_value,) = struct.unpack("<d", buf.read(8))
     elif kind in (_KIND_OCCUPANCY_COMPONENT, _KIND_TAGGED_COMPONENT):
-        cv, nc = struct.unpack("<BI", buf.read(5))
-        meta = dict(components_valid=bool(cv),
-                    number_of_components=jnp.uint32(nc))
-        if kind == _KIND_TAGGED_COMPONENT:
-            sv, ns = struct.unpack("<BI", buf.read(5))
-            meta.update(spatial_segments_valid=bool(sv),
-                        number_of_spatial_segments=jnp.uint32(ns))
+        if version >= 2:
+            cv, nc = struct.unpack("<BI", buf.read(5))
+            meta = dict(components_valid=bool(cv),
+                        number_of_components=jnp.uint32(nc))
+            if kind == _KIND_TAGGED_COMPONENT:
+                sv, ns = struct.unpack("<BI", buf.read(5))
+                meta.update(spatial_segments_valid=bool(sv),
+                            number_of_spatial_segments=jnp.uint32(ns))
+        else:
+            meta = dict(components_valid=False,
+                        number_of_components=jnp.uint32(0))
+            if kind == _KIND_TAGGED_COMPONENT:
+                meta.update(spatial_segments_valid=False,
+                            number_of_spatial_segments=jnp.uint32(0))
     frame = _read_string(buf)
     (resolution,) = struct.unpack("<d", buf.read(8))
     origin = np.frombuffer(buf.read(16 * 8), np.float64).reshape(4, 4)
@@ -210,6 +230,9 @@ def deserialize(data: bytes):
 def to_file_bytes(m, compress: bool = True) -> bytes:
     """Full file image: 4-byte magic + (optionally zlib-compressed) payload,
     matching the reference's SaveToFile envelope."""
+    from .dsh import DynamicSpatialHashedOccupancyMap
+    if isinstance(m, DynamicSpatialHashedOccupancyMap):
+        return m.to_file_bytes(compress)
     kind, _, _ = _map_kind_and_channels(m)
     magic_z, magic_r = _MAGICS[kind]
     payload = serialize(m)

@@ -7,7 +7,10 @@ is a plain dict carrying the same content, built on the binary serialization
 in :mod:`..core.serialization`, so round-tripping through a transport layer
 (ROS bridge, RPC, file) preserves everything the reference's
 ``GetMessageRepresentation`` / ``LoadFromMessageRepresentation`` do
-(ros_interface.cpp:204-230)."""
+(ros_interface.cpp:204-230). Dynamic spatial-hashed maps are supported too
+(``DynamicSpatialHashedOccupancyMapMessage`` wrap/unwrap,
+ros_interface.hpp:597-600) — their kind-6 payload is routed through
+:mod:`..core.serialization`."""
 
 from __future__ import annotations
 

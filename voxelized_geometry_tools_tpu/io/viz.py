@@ -45,6 +45,7 @@ class VoxelMarker:
     scale: np.ndarray  # [3] voxel sizes
     positions: np.ndarray  # [N, 3] grid-frame cell centers
     colors: np.ndarray  # [N, 4] RGBA
+    ns: str = ""  # marker namespace (``Marker.ns`` strings of the reference)
 
     @property
     def num_cells(self) -> int:
@@ -68,7 +69,7 @@ def lookup_component_color(component: int, alpha: float = 1.0) -> np.ndarray:
 
 def export_voxel_grid(spec, origin_transform, frame: str,
                       color_fn: Callable[[np.ndarray], np.ndarray],
-                      *channels) -> VoxelMarker:
+                      *channels, ns: str = "") -> VoxelMarker:
     """Generic exporter (``ExportVoxelGridToRViz``, ros_interface.hpp:92-148).
 
     ``color_fn`` maps per-voxel channel values (numpy arrays of shape
@@ -83,7 +84,7 @@ def export_voxel_grid(spec, origin_transform, frame: str,
     return VoxelMarker(
         frame=frame, pose=np.asarray(origin_transform, np.float64),
         scale=np.full(3, res), positions=positions,
-        colors=rgba[keep])
+        colors=rgba[keep], ns=ns)
 
 
 def export_occupancy_for_display(
@@ -102,7 +103,30 @@ def export_occupancy_for_display(
         return rgba
 
     return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
-                             color, omap.occupancy)
+                             color, omap.occupancy, ns="occupancy_map")
+
+
+_NO_COLOR = (0.0, 0.0, 0.0, 0.0)
+
+
+def export_for_separate_display(
+        omap, collision_color=(1.0, 0.0, 0.0, 0.5),
+        free_color=(0.0, 1.0, 0.0, 0.5),
+        unknown_color=(1.0, 1.0, 0.0, 0.5)) -> list:
+    """``ExportForSeparateDisplay`` (ros_interface.hpp:495-498 and the
+    per-type variants): the MarkerArray analogue — three markers splitting
+    the map into collision-only / free-only / unknown-only cells, namespaced
+    like the reference (ros_interface.cpp:83-89)."""
+    collision = export_occupancy_for_display(
+        omap, collision_color, _NO_COLOR, _NO_COLOR)
+    collision.ns = "collision_only"
+    free = export_occupancy_for_display(
+        omap, _NO_COLOR, free_color, _NO_COLOR)
+    free.ns = "free_only"
+    unknown = export_occupancy_for_display(
+        omap, _NO_COLOR, _NO_COLOR, unknown_color)
+    unknown.ns = "unknown_only"
+    return [collision, free, unknown]
 
 
 def export_surfaces_for_display(omap, surface_mask,
@@ -116,7 +140,108 @@ def export_surfaces_for_display(omap, surface_mask,
         return rgba
 
     return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
-                             color, omap.occupancy, surface_mask)
+                             color, omap.occupancy, surface_mask,
+                             ns="occupancy_surfaces")
+
+
+def _surface_mask_or_default(omap, surface_mask):
+    if surface_mask is not None:
+        return np.asarray(surface_mask).astype(bool)
+    from ..ops import topology
+    return np.asarray(topology.is_surface_index(omap.occupancy))
+
+
+def export_classified_surfaces_for_display(
+        omap, collision_color=(1.0, 0.0, 0.0, 0.5),
+        free_color=(0.0, 1.0, 0.0, 0.5),
+        unknown_color=(1.0, 1.0, 0.0, 0.5),
+        surface_mask=None) -> VoxelMarker:
+    """``ExportSurfacesForDisplay(map, collision, free, unknown)``
+    (ros_interface.cpp:96-134): surface cells colored by occupancy class,
+    everything else transparent. ``surface_mask=None`` computes the
+    26-neighbor occupancy surface (``IsSurfaceIndex``) like the reference."""
+    surf = _surface_mask_or_default(omap, surface_mask)
+
+    def color(occ):
+        rgba = np.zeros(occ.shape + (4,), np.float32)
+        rgba[surf & (occ > 0.5)] = collision_color
+        rgba[surf & (occ < 0.5)] = free_color
+        rgba[surf & (occ == 0.5)] = unknown_color
+        return rgba
+
+    return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
+                             color, omap.occupancy, ns="occupancy_surfaces")
+
+
+def export_surfaces_for_separate_display(
+        omap, collision_color=(1.0, 0.0, 0.0, 0.5),
+        free_color=(0.0, 1.0, 0.0, 0.5),
+        unknown_color=(1.0, 1.0, 0.0, 0.5),
+        surface_mask=None) -> list:
+    """``ExportSurfacesForSeparateDisplay`` (ros_interface.hpp:507-510):
+    three markers splitting the surface cells by occupancy class
+    (ros_interface.cpp:150-158 namespaces)."""
+    surf = _surface_mask_or_default(omap, surface_mask)
+    collision = export_classified_surfaces_for_display(
+        omap, collision_color, _NO_COLOR, _NO_COLOR, surface_mask=surf)
+    collision.ns = "collision_surfaces_only"
+    free = export_classified_surfaces_for_display(
+        omap, _NO_COLOR, free_color, _NO_COLOR, surface_mask=surf)
+    free.ns = "free_surfaces_only"
+    unknown = export_classified_surfaces_for_display(
+        omap, _NO_COLOR, _NO_COLOR, unknown_color, surface_mask=surf)
+    unknown.ns = "unknown_surfaces_only"
+    return [collision, free, unknown]
+
+
+def _object_rgba(object_id: np.ndarray, object_color_map) -> np.ndarray:
+    """Per-object RGBA lookup. With a color map, mapped ids get their color
+    and unmapped ids are transparent; with none, ids take palette colors
+    (id 0 transparent). NOTE: the reference's ``specifies_colors =
+    object_color_map.empty()`` (ros_interface.cpp:584) inverts its own
+    intent — an EMPTY map would look ids up in the empty map and hide
+    everything while a non-empty map would be ignored; this implements the
+    documented intent (hpp:611-614 default argument) instead."""
+    obj = np.asarray(object_id).astype(np.int64)
+    if object_color_map:
+        max_id = max(int(k) for k in object_color_map)
+        table = np.zeros((max_id + 2, 4), np.float32)  # default transparent
+        for k, rgba in object_color_map.items():
+            table[int(k)] = np.asarray(rgba, np.float32)
+        return table[np.minimum(obj, max_id + 1)]
+    palette = np.stack([lookup_component_color(c)
+                        for c in range(len(_UNIQUE_COLORS))])
+    rgba = palette[obj % len(_UNIQUE_COLORS)]
+    rgba[obj == 0, 3] = 0.0
+    return rgba
+
+
+def export_tagged_objects_for_display(omap,
+                                      object_color_map=None) -> VoxelMarker:
+    """``ExportForDisplay(map, object_color_map)`` for the tagged maps
+    (ros_interface.hpp:611-614, 667-671): every cell colored by its object
+    id — explicit colors from the map (unmapped ids transparent) or unique
+    palette colors when no map is given (id 0 transparent)."""
+    return export_voxel_grid(
+        omap.spec, omap.origin_transform, omap.frame,
+        lambda obj: _object_rgba(obj, object_color_map), omap.object_id,
+        ns="occupancy_map_objects")
+
+
+def export_tagged_object_surfaces_for_display(
+        omap, object_color_map=None, surface_mask=None) -> VoxelMarker:
+    """``ExportSurfacesForDisplay(map, object_color_map)``
+    (ros_interface.cpp:681-725): object-id coloring restricted to surface
+    cells (26-neighbor ``IsSurfaceIndex`` when no mask is given)."""
+    surf = _surface_mask_or_default(omap, surface_mask)
+
+    def color(obj):
+        rgba = _object_rgba(obj, object_color_map)
+        rgba[~surf] = 0.0
+        return rgba
+
+    return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
+                             color, omap.object_id, ns="occupancy_surfaces")
 
 
 def export_connected_components_for_display(omap) -> VoxelMarker:
@@ -131,7 +256,8 @@ def export_connected_components_for_display(omap) -> VoxelMarker:
         return rgba
 
     return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
-                             color, omap.component)
+                             color, omap.component,
+                             ns="connected_components")
 
 
 def export_spatial_segments_for_display(omap) -> VoxelMarker:
@@ -146,7 +272,8 @@ def export_spatial_segments_for_display(omap) -> VoxelMarker:
         return rgba
 
     return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
-                             color, omap.spatial_segment)
+                             color, omap.spatial_segment,
+                             ns="spatial_segments")
 
 
 def interpolate_hot_to_cold(value: np.ndarray, low: float,
@@ -187,8 +314,10 @@ def export_spatial_segment_for_display(omap, object_id: int,
         rgba[in_segment] = rgba_on
         return rgba
 
-    return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
-                             color, omap.spatial_segment, omap.object_id)
+    return export_voxel_grid(
+        omap.spec, omap.origin_transform, omap.frame,
+        color, omap.spatial_segment, omap.object_id,
+        ns=f"object_{object_id}_spatial_segment_{spatial_segment}")
 
 
 def export_sdf_for_display(sdf, alpha: float = 0.5) -> VoxelMarker:
@@ -208,7 +337,7 @@ def export_sdf_for_display(sdf, alpha: float = 0.5) -> VoxelMarker:
         return rgba
 
     return export_voxel_grid(sdf.spec, sdf.origin_transform, sdf.frame,
-                             color, sdf.distances)
+                             color, sdf.distances, ns="sdf_distance")
 
 
 def export_sdf_collision_only(sdf, collision_color=(1.0, 0.0, 0.0, 0.5)
@@ -221,7 +350,7 @@ def export_sdf_collision_only(sdf, collision_color=(1.0, 0.0, 0.0, 0.5)
         return rgba
 
     return export_voxel_grid(sdf.spec, sdf.origin_transform, sdf.frame,
-                             color, sdf.distances)
+                             color, sdf.distances, ns="sdf_collision")
 
 
 def export_dsh_grid(dsh_map, color_fn: Callable[[np.ndarray], np.ndarray]
@@ -274,6 +403,25 @@ def export_dsh_occupancy_for_display(
         return rgba
 
     return export_dsh_grid(dsh_map, color)
+
+
+def export_dsh_for_separate_display(
+        dsh_map, collision_color=(1.0, 0.0, 0.0, 0.5),
+        free_color=(0.0, 1.0, 0.0, 0.5),
+        unknown_color=(1.0, 1.0, 0.0, 0.5)) -> list:
+    """``ExportForSeparateDisplay(DynamicSpatialHashedOccupancyMap, ...)``
+    (ros_interface.hpp:589-592, cpp:501-507): three markers splitting the
+    allocated cells into collision / free / unknown."""
+    collision = export_dsh_occupancy_for_display(
+        dsh_map, collision_color, _NO_COLOR, _NO_COLOR)
+    collision.ns = "collision_only"
+    free = export_dsh_occupancy_for_display(
+        dsh_map, _NO_COLOR, free_color, _NO_COLOR)
+    free.ns = "free_only"
+    unknown = export_dsh_occupancy_for_display(
+        dsh_map, _NO_COLOR, _NO_COLOR, unknown_color)
+    unknown.ns = "unknown_only"
+    return [collision, free, unknown]
 
 
 def export_voxel_grid_indices(spec, origin_transform, frame: str,

@@ -21,6 +21,7 @@ BASELINE.md.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -185,7 +186,10 @@ def parabolic_envelope_last_pallas_windowed(
     n = shape[-1]
     lines = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
 
-    pad_n = (-n) % max(_UNROLL, tile_q)
+    # Pad to a common multiple of the chunk size and the q tile: a
+    # non-multiple pairing would leave padded_n % _UNROLL trailing rows
+    # outside n_ch = n // ch, silently dropping real candidates.
+    pad_n = (-n) % math.lcm(_UNROLL, tile_q)
     pad_l = (-lines) % tile_lines
     ft = f.reshape(lines, n).T
     if pad_n or pad_l:
@@ -279,7 +283,10 @@ def parabolic_envelope_last_pallas_bestfirst(
     n = shape[-1]
     lines = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
 
-    pad_n = (-n) % max(_UNROLL, tile_q)
+    # Pad to a common multiple of the chunk size and the q tile: a
+    # non-multiple pairing would leave padded_n % _UNROLL trailing rows
+    # outside n_ch = n // ch, silently dropping real candidates.
+    pad_n = (-n) % math.lcm(_UNROLL, tile_q)
     pad_l = (-lines) % tile_lines
     ft = f.reshape(lines, n).T
     if pad_n or pad_l:

@@ -78,9 +78,10 @@ def _axis_interp_indices(initial: Array, axis_size: int,
 def _corrected_center_distance(sdf: SignedDistanceField, idx: Array) -> Array:
     """``GetCorrectedCenterDistance`` (hpp:257-275): pull the stored distance
     half a cell toward the surface, since stored distances measure to cell
-    centers, not boundaries."""
+    centers, not boundaries. Computed in the field's own dtype (float or
+    double, hpp:1268-1269)."""
     d = sdf.get_index(idx)
-    offset = jnp.float32(sdf.resolution * 0.5)
+    offset = d.dtype.type(sdf.resolution * 0.5)
     return jnp.where(d >= 0.0, d - offset, d + offset)
 
 
@@ -92,10 +93,12 @@ def estimate_distance_interpolate(sdf: SignedDistanceField, p_world: Array,
     ``p_world``: ``[..., 3]`` world locations; ``index``: ``[..., 3]``
     containing cell. Differentiable in ``p_world`` and ``sdf.distances``.
     """
-    res = jnp.float32(sdf.resolution)
-    p_grid = transforms.apply_isometry(sdf.inverse_origin_transform(),
-                                       jnp.asarray(p_world)[..., :3])
-    center = sdf.spec.grid_index_to_location_in_grid_frame(index)
+    dt = sdf.distances.dtype
+    res = dt.type(sdf.resolution)
+    p_grid = transforms.apply_isometry(
+        sdf.inverse_origin_transform().astype(dt),
+        jnp.asarray(p_world)[..., :3].astype(dt))
+    center = sdf.spec.grid_index_to_location_in_grid_frame(index, dtype=dt)
     offset = p_grid - center
 
     lx, ux = _axis_interp_indices(index[..., 0], sdf.spec.num_x,
@@ -189,17 +192,21 @@ class CornerTable(NamedTuple):
 
 
 def build_corner_table(sdf: SignedDistanceField,
-                       dtype=jnp.float32) -> CornerTable:
+                       dtype=None) -> CornerTable:
     """Build the corner-brick table with pure shifts (no gathers).
 
-    Structured as a ``fori_loop`` over X planes writing into the
-    preallocated ``[N, 8]`` table: a monolithic stack-and-reshape of the
-    whole grid makes XLA's TPU layout pass take minutes to compile at 512^3,
-    while the per-plane loop compiles in seconds, runs at HBM write speed,
-    and peaks at ~1 plane of extra memory."""
-    d = jnp.asarray(sdf.distances, jnp.float32)
+    ``dtype`` defaults to the field's own scalar type, so a
+    ``SignedDistanceField<double>`` keeps full precision through the fast
+    query/render path (hpp:1268-1269 parity). Structured as a ``fori_loop``
+    over X planes writing into the preallocated ``[N, 8]`` table: a
+    monolithic stack-and-reshape of the whole grid makes XLA's TPU layout
+    pass take minutes to compile at 512^3, while the per-plane loop compiles
+    in seconds, runs at HBM write speed, and peaks at ~1 plane of extra
+    memory."""
+    d = jnp.asarray(sdf.distances)
+    dtype = d.dtype if dtype is None else jnp.dtype(dtype)
     nx, ny, nz = d.shape
-    half = jnp.float32(sdf.resolution * 0.5)
+    half = d.dtype.type(sdf.resolution * 0.5)
     corrected = jnp.where(d >= 0.0, d - half, d + half)
     padded = jnp.pad(corrected, ((0, 1), (0, 1), (0, 1)), mode="edge")
 
@@ -228,23 +235,25 @@ def estimate_location_distance_fast(sdf: SignedDistanceField,
     inside the same trace).
     """
     spec = sdf.spec
-    p = jnp.asarray(p_world)[..., :3]
-    p_grid = transforms.apply_isometry(sdf.inverse_origin_transform(), p)
+    dt = table.rows.dtype
+    p = jnp.asarray(p_world)[..., :3].astype(dt)
+    p_grid = transforms.apply_isometry(
+        sdf.inverse_origin_transform().astype(dt), p)
     finite = jnp.all(jnp.isfinite(p), axis=-1)
     index = spec.location_in_grid_frame_to_grid_index(
         jnp.where(finite[..., None], p_grid, 0.0))
     valid = finite & spec.check_grid_index_in_bounds(index)
 
-    res = jnp.float32(spec.resolution)
-    s = jnp.where(finite[..., None], p_grid, 0.0) / res - 0.5
+    res = dt.type(spec.resolution)
+    s = jnp.where(finite[..., None], p_grid, 0.0) / res - dt.type(0.5)
     counts = jnp.asarray(spec.counts, jnp.int32)
     b = jnp.clip(jnp.floor(s).astype(jnp.int32), 0,
                  jnp.maximum(counts - 2, 0))
-    t = s - b.astype(jnp.float32)
+    t = s - b.astype(dt)
 
     ny, nz = spec.counts[1], spec.counts[2]
     flat = b[..., 0] * (ny * nz) + b[..., 1] * nz + b[..., 2]
-    corners = table.rows[flat].astype(jnp.float32)  # [..., 8]
+    corners = table.rows[flat]  # [..., 8]
 
     tx = t[..., 0:1]
     ty = t[..., 1:2]
@@ -266,12 +275,13 @@ def get_grid_aligned_index_coarse_gradient(
     interior = jnp.all((idx > 0) & (idx < counts - 1), axis=-1)
 
     res = sdf.resolution
+    dt = sdf.distances.dtype
 
     def value_at(offset):
         return sdf.get_index(idx + jnp.asarray(offset, dtype=idx.dtype))
 
     # Interior: symmetric central differences over +/- 1 cell (hpp:935-948).
-    inv2r = jnp.float32(1.0 / (2.0 * res))
+    inv2r = dt.type(1.0 / (2.0 * res))
     g_interior = jnp.stack([
         (value_at((1, 0, 0)) - value_at((-1, 0, 0))) * inv2r,
         (value_at((0, 1, 0)) - value_at((0, -1, 0))) * inv2r,
@@ -282,14 +292,15 @@ def get_grid_aligned_index_coarse_gradient(
         # Edge path: clamp the window per axis (hpp:954-1012).
         low = jnp.maximum(idx - 1, 0)
         high = jnp.minimum(idx + 1, counts - 1)
-        incr = (high - low).astype(jnp.float32) * jnp.float32(res)
+        incr = (high - low).astype(dt) * dt.type(res)
 
         def axis_grad(axis):
             lo_idx = idx.at[..., axis].set(low[..., axis])
             hi_idx = idx.at[..., axis].set(high[..., axis])
             delta = sdf.get_index(hi_idx) - sdf.get_index(lo_idx)
             return jnp.where(incr[..., axis] > 0.0,
-                             delta / jnp.maximum(incr[..., axis], 1e-30), 0.0)
+                             delta / jnp.maximum(incr[..., axis],
+                                                 dt.type(1e-30)), 0.0)
 
         g_edge = jnp.stack([axis_grad(0), axis_grad(1), axis_grad(2)],
                            axis=-1)
@@ -334,8 +345,8 @@ def get_location_fine_gradient(sdf: SignedDistanceField, p_world: Array,
                                nominal_window_size: float) -> GradientQuery:
     """``GetLocationFineGradient`` (hpp:1051-1092): windowed differencing of
     trilinear estimates with one-sided fallbacks near the boundary."""
-    p = jnp.asarray(p_world)[..., :3]
-    w = jnp.float32(abs(float(nominal_window_size)))
+    p = jnp.asarray(p_world)[..., :3].astype(sdf.distances.dtype)
+    w = sdf.distances.dtype.type(abs(float(nominal_window_size)))
     in_bounds = sdf.spec.check_grid_index_in_bounds(
         sdf.location_to_grid_index(p))
 
@@ -366,6 +377,15 @@ def get_location_fine_gradient(sdf: SignedDistanceField, p_world: Array,
     return GradientQuery(gradient, valid)
 
 
+def get_index_fine_gradient(sdf: SignedDistanceField, index: Array,
+                            nominal_window_size: float) -> GradientQuery:
+    """``GetIndexFineGradient`` (hpp:1094-1110): fine gradient at a grid
+    index's world-frame cell center, batched over ``[..., 3]`` indices."""
+    return get_location_fine_gradient(
+        sdf, sdf.grid_index_to_location(jnp.asarray(index)),
+        nominal_window_size)
+
+
 def project_out_of_collision(sdf: SignedDistanceField, p_world: Array,
                              stepsize_multiplier: float = 0.1,
                              max_steps: int = 1000) -> ProjectionResult:
@@ -386,13 +406,14 @@ def project_out_of_collision_to_minimum_distance(
     start out of bounds are returned unchanged with ``valid=True``, matching
     the reference's early-exit.
     """
-    p0 = jnp.asarray(p_world)[..., :3]
+    dt = sdf.distances.dtype
+    p0 = jnp.asarray(p_world)[..., :3].astype(dt)
     batch_shape = p0.shape[:-1]
     res = float(sdf.resolution)
-    min_dist = jnp.float32(minimum_distance)
-    margin = jnp.float32(minimum_distance + res * stepsize_multiplier * 1e-3)
-    max_step = jnp.float32(res * stepsize_multiplier)
-    grad_floor = jnp.float32(res * 0.25)
+    min_dist = dt.type(minimum_distance)
+    margin = dt.type(minimum_distance + res * stepsize_multiplier * 1e-3)
+    max_step = dt.type(res * stepsize_multiplier)
+    grad_floor = dt.type(res * 0.25)
 
     start_in_bounds = sdf.spec.check_grid_index_in_bounds(
         sdf.location_to_grid_index(p0))
@@ -417,7 +438,7 @@ def project_out_of_collision_to_minimum_distance(
         productive = g.valid & (gnorm > grad_floor)
         step = jnp.minimum(max_step, margin - s["d"])
         direction = jnp.where(g.valid[..., None], g.gradient, 0.0) / (
-            jnp.maximum(gnorm, 1e-30)[..., None])
+            jnp.maximum(gnorm, dt.type(1e-30))[..., None])
         p_new = jnp.where((s["active"] & productive)[..., None],
                           s["p"] + direction * step[..., None], s["p"])
         d_new = jnp.where(s["active"] & productive,
@@ -439,7 +460,7 @@ def project_out_of_collision_to_minimum_distance(
 def _gradient_is_effectively_flat(gradient: Array, resolution: float) -> Array:
     """``GradientIsEffectiveFlat`` (hpp:482-497): all |components| within
     0.06125 * resolution."""
-    thresh = jnp.float32(resolution * 0.06125)
+    thresh = gradient.dtype.type(resolution * 0.06125)
     return jnp.all(jnp.abs(gradient) <= thresh, axis=-1)
 
 
@@ -449,7 +470,7 @@ def _next_from_gradient(sdf: SignedDistanceField, index: Array,
     increasing distance (flipped inside obstacles) over the 26-neighborhood."""
     d = sdf.get_index(index)
     working = jnp.where((d < 0.0)[..., None], -gradient, gradient)
-    thresh = jnp.float32(sdf.resolution * 0.06125)
+    thresh = working.dtype.type(sdf.resolution * 0.06125)
     step = jnp.where(working > thresh, 1,
                      jnp.where(working < -thresh, -1, 0)).astype(index.dtype)
     return index + step
@@ -512,7 +533,7 @@ def compute_local_extrema_map(sdf: SignedDistanceField,
     target = jnp.where(core_is_flat, core_safe, rep[core_safe])
 
     centers = spec.grid_index_to_location_in_grid_frame(
-        spec.unflatten_index(target))
+        spec.unflatten_index(target), dtype=sdf.distances.dtype)
     extrema = jnp.where(core_is_oob[..., None],
                         jnp.full_like(centers, jnp.inf), centers)
     return extrema.reshape(nx, ny, nz, 3)

@@ -241,11 +241,15 @@ def extract_component_surfaces(occupancy: Array, components: Array,
     mask = np.asarray(component_surfaces_mask(occupancy, components,
                                               component_types))
     comp = np.asarray(components)
-    out: Dict[int, np.ndarray] = {}
     idx = np.argwhere(mask)
-    for c in np.unique(comp[mask]):
-        out[int(c)] = idx[comp[mask] == c]
-    return out
+    labels = comp[mask]
+    # Group by label with one sort + split instead of one boolean scan per
+    # component (O(M log M) total, independent of the component count).
+    order = np.argsort(labels, kind="stable")
+    sorted_labels = labels[order]
+    uniques, starts = np.unique(sorted_labels, return_index=True)
+    groups = np.split(idx[order], starts[1:])
+    return {int(c): g for c, g in zip(uniques, groups)}
 
 
 # -- Holes and voids ---------------------------------------------------------
@@ -394,17 +398,218 @@ def compute_holes_and_voids(components: Array, surface_mask: Array,
     return NumberOfHolesAndVoids(num_holes, num_voids)
 
 
+def _slot_index(a: int, b: int, c: int) -> int:
+    return 4 * a + 2 * b + c
+
+
+_SLOTS = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+
+# The six vertex-lattice edges with their 4 surrounding voxel slots
+# (hpp:533-610; slot {0,1} encodes the reference's -1/+0 voxel offsets).
+_EDGE_QUADS = {
+    "zm": [(0, 0, 0), (0, 1, 0), (1, 0, 0), (1, 1, 0)],
+    "zp": [(0, 0, 1), (0, 1, 1), (1, 0, 1), (1, 1, 1)],
+    "ym": [(0, 0, 0), (0, 0, 1), (1, 0, 0), (1, 0, 1)],
+    "yp": [(0, 1, 0), (0, 1, 1), (1, 1, 0), (1, 1, 1)],
+    "xm": [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1)],
+    "xp": [(1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)],
+}
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins",))
+def _holes_voids_all_device(components: Array, surface: Array,
+                            num_bins: int):
+    """All-components ``ComputeComponentTopology`` in ONE device pass.
+
+    The per-component formulation (``_holes_voids_device``) launches one
+    full-grid pass per component id — fine for a tutorial's 2 components,
+    pathological for a speckled grid with thousands (round-1 weak #3). This
+    version computes M3/M5/M6 and the surface-vertex connectivity for EVERY
+    component simultaneously:
+
+    * Each vertex of the (nx+1, ny+1, nz+1) lattice sees 8 surrounding voxel
+      component values (views into the padded component grid). A vertex can be
+      a surface vertex of several components at once, so all metrics are
+      computed per (vertex, corner-slot) *candidate* with target ``T`` = that
+      corner's component value, deduplicated to the first slot holding each
+      distinct value.
+    * M3/M5/M6 become scatter-adds binned by ``T`` (one segment-sum over the
+      vertex lattice instead of K masked reductions).
+    * The surface-vertex CC (hpp:198-299) runs once on the *lifted* node set
+      ``(vertex, slot)``: equal-valued slots of one vertex merge (they are
+      the same (vertex, component) node), and slot ``(1,b,c)`` of vertex V
+      connects to slot ``(0,b,c)`` of V+x̂ — the SAME voxel seen from both
+      ends of the +x lattice edge — when that edge is exposed for its value
+      (likewise y/z). Min-label propagation + pointer jumping, exactly as
+      :func:`label_components`; root counts per value give the number of
+      disjoint surfaces per component.
+
+    Returns ``(m3, m5, m6, num_surfaces)`` int32 arrays of shape
+    ``[num_bins]`` indexed by component id.
+    """
+    comp_pad = _component_values_padded(components)
+    surf_pad = jnp.pad(surface, 1, constant_values=False)
+    nx, ny, nz = components.shape
+
+    def view(arr, s):
+        a, b, c = s
+        return arr[a:a + nx + 1, b:b + ny + 1, c:c + nz + 1]
+
+    vals = [view(comp_pad, s) for s in _SLOTS]     # 8 x [VX, VY, VZ] int32
+    surfs = [view(surf_pad, s) for s in _SLOTS]    # 8 x [VX, VY, VZ] bool
+
+    m3 = jnp.zeros((num_bins,), jnp.int32)
+    m5 = jnp.zeros((num_bins,), jnp.int32)
+    m6 = jnp.zeros((num_bins,), jnp.int32)
+    active = []  # vertex_flag per candidate slot
+
+    for qi, (qa, qb, qc) in enumerate(_SLOTS):
+        target = vals[qi]
+        same = [vals[i] == target for i in range(8)]
+
+        # Vertex membership (vconds of the per-component path, re-expressed
+        # per vertex): slot r's three face neighbors toward this vertex are
+        # the coordinate flips of r among the same 8 slots.
+        vflag = jnp.zeros(target.shape, dtype=bool)
+        for ri, (ra, rb, rc) in enumerate(_SLOTS):
+            fx = _slot_index(1 - ra, rb, rc)
+            fy = _slot_index(ra, 1 - rb, rc)
+            fz = _slot_index(ra, rb, 1 - rc)
+            vflag = vflag | (surfs[ri] & same[ri]
+                             & (~same[fx] | ~same[fy] | ~same[fz]))
+        active.append(vflag)
+
+        # Edge exposure counts (hpp:508-624).
+        edge_count = jnp.zeros(target.shape, jnp.int32)
+        for quad in _EDGE_QUADS.values():
+            qs = [same[_slot_index(*r)] for r in quad]
+            any_same = qs[0] | qs[1] | qs[2] | qs[3]
+            all_same = qs[0] & qs[1] & qs[2] & qs[3]
+            edge_count = edge_count + (any_same & ~all_same).astype(jnp.int32)
+
+        # Dedup: count this candidate only at the first slot with its value.
+        first = jnp.ones(target.shape, dtype=bool)
+        for i in range(qi):
+            first = first & (vals[i] != target)
+        counted = vflag & first
+        bins = jnp.where(counted, target, num_bins)
+        m3 = m3.at[bins].add((edge_count == 3).astype(jnp.int32),
+                             mode="drop")
+        m5 = m5.at[bins].add((edge_count == 5).astype(jnp.int32),
+                             mode="drop")
+        m6 = m6.at[bins].add((edge_count == 6).astype(jnp.int32),
+                             mode="drop")
+
+    # --- Lifted surface-vertex CC over every component at once.
+    act = jnp.stack(active)                       # [8, VX, VY, VZ]
+    val = jnp.stack(vals)                         # [8, VX, VY, VZ]
+    vshape = act.shape
+    n_nodes = 8 * vshape[1] * vshape[2] * vshape[3]
+    big = jnp.int32(n_nodes)
+    own = jnp.arange(n_nodes, dtype=jnp.int32).reshape(vshape)
+    label = jnp.where(act, own, big)
+
+    # Edge-exposure mask for the inter-vertex connections: the +axis edge at
+    # V is exposed for the value of shared slot s iff not all 4 voxels around
+    # the edge share that value (membership is automatic — the slot itself is
+    # one of the four).
+    def shared_exposed(axis_quad, qi):
+        target = vals[qi]
+        all_same = jnp.ones(target.shape, dtype=bool)
+        for r in axis_quad:
+            all_same = all_same & (vals[_slot_index(*r)] == target)
+        return ~all_same
+
+    inter = []  # (slot_hi, slot_lo, axis, mask) with mask at the lower vertex
+    for axis, (hi_key, flip_axis) in enumerate(
+            [("xp", 0), ("yp", 1), ("zp", 2)]):
+        quad = _EDGE_QUADS[hi_key]
+        for r in quad:
+            i_hi = _slot_index(*r)
+            lo = list(r)
+            lo[flip_axis] = 0
+            i_lo = _slot_index(*lo)
+            exposed = shared_exposed(quad, i_hi)
+            sl_lo = [slice(None)] * 3
+            sl_hi = [slice(None)] * 3
+            sl_lo[axis] = slice(None, -1)
+            sl_hi[axis] = slice(1, None)
+            sl_lo, sl_hi = tuple(sl_lo), tuple(sl_hi)
+            mask = (act[i_hi][sl_lo] & act[i_lo][sl_hi] & exposed[sl_lo])
+            inter.append((i_hi, i_lo, sl_lo, sl_hi, mask))
+
+    intra = []  # same-vertex equal-value slot merges
+    for i in range(8):
+        for j in range(i + 1, 8):
+            intra.append((i, j, (val[i] == val[j]) & act[i] & act[j]))
+
+    def neighbor_min(lbl):
+        out = lbl
+        for i, j, m in intra:
+            out = out.at[i].min(jnp.where(m, lbl[j], big))
+            out = out.at[j].min(jnp.where(m, lbl[i], big))
+        for i_hi, i_lo, sl_lo, sl_hi, m in inter:
+            out = out.at[(i_hi,) + sl_lo].min(
+                jnp.where(m, lbl[i_lo][sl_hi], big))
+            out = out.at[(i_lo,) + sl_hi].min(
+                jnp.where(m, lbl[i_hi][sl_lo], big))
+        return jnp.where(act, out, big)
+
+    def compress(lbl):
+        flat = lbl.reshape(-1)
+        flat_ext = jnp.concatenate([flat, jnp.array([big], jnp.int32)])
+        jumped = flat_ext[jnp.minimum(flat, n_nodes)]
+        return jnp.where(act, jumped.reshape(vshape), big)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        lbl, _ = state
+        new = neighbor_min(lbl)
+        new = compress(compress(new))
+        return new, jnp.any(new != lbl)
+
+    label, _ = lax.while_loop(cond, body, (label, jnp.bool_(True)))
+
+    is_root = act & (label == own)
+    root_bins = jnp.where(is_root, val, num_bins)
+    num_surfaces = jnp.zeros((num_bins,), jnp.int32).at[root_bins].add(
+        1, mode="drop")
+    return m3, m5, m6, num_surfaces
+
+
 def compute_component_topology(
         occupancy: Array, components: Array, component_types: int,
         logging_fn: Optional[Callable[[str], None]] = None
 ) -> Dict[int, NumberOfHolesAndVoids]:
     """``ComputeComponentTopology`` (hpp:645-670): per-component hole/void
-    invariants over the selected occupancy classes."""
+    invariants over the selected occupancy classes. One device pass for all
+    components (see :func:`_holes_voids_all_device`); the host only bins the
+    returned per-component counts into the result dict."""
     mask = component_surfaces_mask(occupancy, components, component_types)
-    comp_np = np.asarray(components)
-    mask_np = np.asarray(mask)
+    # Static bin count, rounded up to a power of two so recompiles happen
+    # per size class rather than per exact component count.
+    max_comp = int(jnp.max(components))
+    num_bins = 2
+    while num_bins < max_comp + 1:
+        num_bins *= 2
+    m3b, m5b, m6b, nsb = _holes_voids_all_device(components, mask,
+                                                 num_bins=num_bins)
+    m3b, m5b, m6b, nsb = (np.asarray(m3b), np.asarray(m5b), np.asarray(m6b),
+                          np.asarray(nsb))
     result: Dict[int, NumberOfHolesAndVoids] = {}
-    for c in sorted(np.unique(comp_np[mask_np])):
-        result[int(c)] = compute_holes_and_voids(
-            components, mask, int(c), logging_fn)
+    for c in np.nonzero(nsb)[0]:
+        m3, m5, m6 = int(m3b[c]), int(m5b[c]), int(m6b[c])
+        num_surfaces = int(nsb[c])
+        num_voids = max(num_surfaces - 1, 0)
+        raw_holes = 1 + (m5 + 2 * m6 - m3) // 8
+        num_holes = raw_holes + num_voids
+        if logging_fn:
+            logging_fn(
+                f"Processed surface with M3 = {m3} M5 = {m5} M6 = {m6} into "
+                f"# holes = {num_holes} # of surfaces = {num_surfaces} "
+                f"# of voids = {num_voids}")
+        result[int(c)] = NumberOfHolesAndVoids(num_holes, num_voids)
     return result

@@ -53,8 +53,10 @@ def sharded_squared_edt(seed: Array, mesh: Mesh, axis_name: str = "z",
     support)."""
     n_shards = mesh.shape[axis_name]
     nx, ny, nz = seed.shape
-    backend = edt_ops._resolve_edt_backend(backend, seed.shape)
-    if backend not in ("xla", "pallas", "pallas-windowed",
+    # 'auto' is passed through to each axis pass (NOT resolved against the
+    # global shape here): per-pass local shapes differ after the all_to_all
+    # transposes, and the kernels tile per-axis.
+    if backend not in ("auto", "xla", "pallas", "pallas-windowed",
                        "pallas-bestfirst"):
         raise ValueError(f"Unknown EDT backend {backend!r}")
     if nx % n_shards or nz % n_shards:
