@@ -110,3 +110,33 @@ def test_sdf_get_location_keeps_dict_contract():
     values, valid = sdf.get_location(jnp.asarray([0.1, 0.1, 0.1]))
     assert bool(valid)
     assert float(values["distances"]) == 1.0
+
+
+def test_non_uniform_voxel_sizes_l1_surface():
+    """VoxelSizes / HasUniformVoxelSize parity (SURVEY.md §2.12b): per-axis
+    sizes work at the GridSpec level; map containers enforce uniformity like
+    the reference's EnforceUniformVoxelSize."""
+    import pytest
+    from voxelized_geometry_tools_tpu import GridSpec, OccupancyMap
+
+    spec = GridSpec.from_voxel_sizes((0.1, 0.2, 0.4), (4, 5, 6))
+    assert not spec.has_uniform_voxel_size
+    assert spec.voxel_sizes == (0.1, 0.2, 0.4)
+    assert spec.resolution == 0.1  # VoxelXSize convention
+    np.testing.assert_allclose(spec.grid_sizes, (0.4, 1.0, 2.4))
+    # index -> center -> index round trip with per-axis sizes
+    idx = np.array([[0, 0, 0], [3, 4, 5], [1, 2, 3]])
+    centers = np.asarray(spec.grid_index_to_location_in_grid_frame(idx))
+    np.testing.assert_allclose(
+        centers[1], [3.5 * 0.1, 4.5 * 0.2, 5.5 * 0.4], rtol=1e-6)
+    back = np.asarray(spec.location_in_grid_frame_to_grid_index(centers))
+    np.testing.assert_array_equal(back, idx)
+    with pytest.raises(ValueError):
+        spec.enforce_uniform_voxel_size()
+    with pytest.raises(ValueError):
+        OccupancyMap.create(spec)
+    # Uniform specs are unaffected.
+    uspec = GridSpec.from_voxel_counts(0.25, (2, 2, 2))
+    assert uspec.has_uniform_voxel_size
+    assert uspec.enforce_uniform_voxel_size() is uspec
+    OccupancyMap.create(uspec)

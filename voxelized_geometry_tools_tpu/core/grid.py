@@ -49,6 +49,12 @@ class GridSpec:
 
     counts: Tuple[int, int, int]
     resolution: float
+    # Per-axis voxel sizes (``VoxelGridBase::VoxelSizes``); defaults to the
+    # uniform ``(resolution,) * 3``. ``resolution`` always equals the X size
+    # (``VoxelXSize`` — the value the reference's uniform-enforcing map
+    # classes use everywhere after ``EnforceUniformVoxelSize``,
+    # tagged_object_occupancy_map.hpp:118).
+    voxel_sizes: Tuple[float, float, float] = None
 
     def __post_init__(self):
         if self.resolution <= 0.0:
@@ -58,12 +64,30 @@ class GridSpec:
         object.__setattr__(
             self, "counts", tuple(int(c) for c in self.counts))
         object.__setattr__(self, "resolution", float(self.resolution))
+        if self.voxel_sizes is None:
+            sizes = (self.resolution,) * 3
+        else:
+            sizes = tuple(float(s) for s in self.voxel_sizes)
+            if any(s <= 0.0 for s in sizes):
+                raise ValueError("voxel sizes must be > 0")
+            if sizes[0] != self.resolution:
+                raise ValueError(
+                    "resolution must equal voxel_sizes[0] (VoxelXSize)")
+        object.__setattr__(self, "voxel_sizes", sizes)
 
     # -- constructors ------------------------------------------------------
 
     @staticmethod
     def from_voxel_counts(resolution: float, counts) -> "GridSpec":
         return GridSpec(tuple(int(c) for c in counts), float(resolution))
+
+    @staticmethod
+    def from_voxel_sizes(voxel_sizes, counts) -> "GridSpec":
+        """Per-axis voxel sizes (``VoxelGridSizes`` with distinct x/y/z
+        sizes — the non-uniform L1 surface, SURVEY.md §2.12b)."""
+        sizes = tuple(float(s) for s in voxel_sizes)
+        return GridSpec(tuple(int(c) for c in counts), sizes[0],
+                        voxel_sizes=sizes)
 
     @staticmethod
     def from_grid_sizes(resolution: float, sizes) -> "GridSpec":
@@ -103,10 +127,27 @@ class GridSpec:
     @property
     def grid_sizes(self) -> Tuple[float, float, float]:
         """Physical extents per axis (``VoxelGridBase::GridSizes``)."""
-        return tuple(c * self.resolution for c in self.counts)
+        return tuple(c * s for c, s in zip(self.counts, self.voxel_sizes))
+
+    @property
+    def has_uniform_voxel_size(self) -> bool:
+        """``VoxelGridBase::HasUniformVoxelSize``."""
+        return (self.voxel_sizes[0] == self.voxel_sizes[1]
+                == self.voxel_sizes[2])
+
+    def enforce_uniform_voxel_size(self) -> "GridSpec":
+        """Raise unless the voxel size is uniform — what every reference map
+        class does on construction (``EnforceUniformVoxelSize``,
+        tagged_object_occupancy_map.hpp:118)."""
+        if not self.has_uniform_voxel_size:
+            raise ValueError(
+                "this container requires a uniform voxel size; got "
+                f"voxel_sizes={self.voxel_sizes}")
+        return self
 
     def with_counts(self, counts) -> "GridSpec":
-        return GridSpec(tuple(int(c) for c in counts), self.resolution)
+        return GridSpec(tuple(int(c) for c in counts), self.resolution,
+                        voxel_sizes=self.voxel_sizes)
 
     # -- index math (pure, jit/vmap friendly) ------------------------------
 
@@ -119,17 +160,23 @@ class GridSpec:
         field dtype so cell centers don't round through float32)."""
         idx = jnp.asarray(index)
         dt = jnp.dtype(dtype)
-        return (idx.astype(dt) + dt.type(0.5)) * dt.type(self.resolution)
+        if self.has_uniform_voxel_size:
+            return (idx.astype(dt) + dt.type(0.5)) * dt.type(self.resolution)
+        sizes = jnp.asarray(self.voxel_sizes, dt)
+        return (idx.astype(dt) + dt.type(0.5)) * sizes
 
     def location_in_grid_frame_to_grid_index(self, p_grid) -> Array:
-        """floor(p / resolution) per axis; may be out of bounds. [..., 3]."""
+        """floor(p / voxel size) per axis; may be out of bounds. [..., 3]."""
         p = jnp.asarray(p_grid)
         # Force a float divide: integer-typed points would truncate the
         # resolution (0 for sub-unit resolutions) and emit garbage indices.
         if not jnp.issubdtype(p.dtype, jnp.floating):
             p = p.astype(jnp.float32)
-        return jnp.floor(p[..., :3] / p.dtype.type(self.resolution)).astype(
-            jnp.int32)
+        if self.has_uniform_voxel_size:
+            return jnp.floor(
+                p[..., :3] / p.dtype.type(self.resolution)).astype(jnp.int32)
+        sizes = jnp.asarray(self.voxel_sizes, p.dtype)
+        return jnp.floor(p[..., :3] / sizes).astype(jnp.int32)
 
     def check_grid_index_in_bounds(self, index) -> Array:
         idx = jnp.asarray(index)

@@ -50,6 +50,10 @@ def _default_transform(origin_transform) -> Array:
 
 
 def _full(spec: GridSpec, value, dtype) -> Array:
+    # Every reference map class enforces a uniform voxel size on construction
+    # (EnforceUniformVoxelSize, tagged_object_occupancy_map.hpp:118);
+    # non-uniform GridSpecs are an L1 capability only.
+    spec.enforce_uniform_voxel_size()
     return jnp.full(spec.counts, value, dtype=dtype)
 
 
