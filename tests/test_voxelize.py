@@ -211,3 +211,80 @@ def test_max_range_clipping():
     assert filled.sum() == 0
     # Endpoint at 3.5 -> cell 3 marked free by the clip rule.
     assert free[3] == 1
+
+
+# -- Column-marching carve (the scatter-volume-reduced accelerator path) ----
+
+
+def _compare_grids(a, b):
+    np.testing.assert_array_equal(np.asarray(a.seen_free),
+                                  np.asarray(b.seen_free))
+    np.testing.assert_array_equal(np.asarray(a.seen_filled),
+                                  np.asarray(b.seen_filled))
+
+
+def test_columns_bit_exact_vs_walk():
+    """raycast_pointcloud_columns must equal the voxel walk on every voxel
+    (both use closed-form t with permutation-mapped tie priorities)."""
+    rng = np.random.default_rng(42)
+    spec = GridSpec.from_voxel_counts(0.05, (20, 24, 28))
+    o = rng.uniform(0.2, 0.9, 3)
+    pts_world = rng.uniform(-0.3, 1.6, (1500, 3))
+    cloud = voxelize.PointCloud.create(
+        (pts_world - o).astype(np.float32),
+        transforms.isometry_from_translation(o), max_range=3.0)
+    walk = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud)
+    for axis in (0, 1, 2):
+        cols = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
+                                                   run_axis=axis)
+        _compare_grids(walk, cols)
+
+
+def test_columns_bit_exact_clipped_and_origin():
+    """Range-clipped rays + non-identity grid origin, all run axes."""
+    rng = np.random.default_rng(3)
+    spec = GridSpec.from_voxel_counts(0.04, (25, 25, 25))
+    origin = transforms.isometry_from_translation((0.2, -0.1, 0.05))
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = _rotz(0.4).astype(np.float32)
+    pose[:3, 3] = (-0.4, 0.5, 0.5)
+    pts = rng.uniform(-0.2, 1.8, (1200, 3)).astype(np.float32)
+    cloud = voxelize.PointCloud.create(pts, pose, max_range=1.1)
+    walk = voxelize.raycast_pointcloud(spec, origin, cloud)
+    for axis in (0, 1, 2):
+        cols = voxelize.raycast_pointcloud_columns(spec, origin, cloud,
+                                                   run_axis=axis)
+        _compare_grids(walk, cols)
+
+
+def test_columns_two_camera_oracle():
+    """The two-camera oracle through a column-carve pipeline
+    (pointcloud_voxelization_test.cpp:275-295 one-oracle-many-backends)."""
+    static_env, clouds = make_scene()
+    spec = static_env.spec
+    options = voxelize.FilterOptions(1.0, 1, 1)
+    grids = [voxelize.raycast_pointcloud_columns(
+        spec, static_env.origin_transform, c,
+        run_axis=voxelize.dominant_ray_axis(
+            c, static_env.origin_transform)) for c in clouds]
+    occupancy = voxelize.combine_and_filter(
+        options, jnp.stack([g.seen_free for g in grids]),
+        jnp.stack([g.seen_filled for g in grids]),
+        static_env.occupancy)
+    check_voxelization(np.asarray(occupancy))
+
+
+def test_columns_chunking_and_sorting_invariance():
+    """Ray chunk size (and the in-chunk m-sort it triggers) must not change
+    the counts."""
+    rng = np.random.default_rng(9)
+    spec = GridSpec.from_voxel_counts(0.05, (16, 16, 16))
+    pts = rng.uniform(-0.5, 1.3, (3000, 3)).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0.4, 0.4, -0.5)
+    cloud = voxelize.PointCloud.create(pts, pose)
+    a = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
+                                            ray_chunk=512)
+    b = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
+                                            ray_chunk=65536)
+    _compare_grids(a, b)

@@ -95,23 +95,51 @@ class AcceleratorPointCloudVoxelizer:
             options, "RAY_CHUNK", 16384, logging_fn)
         self._max_steps = retrieve_option_or_default(
             options, "MAX_STEPS", 0, logging_fn) or None
+        # CARVE_COLUMNS=1 (default): large clouds use the column-marching
+        # carve (one ~4x-cheaper scatter row per visited column instead of
+        # one element per visited voxel — ops/voxelize.py), bit-identical to
+        # the voxel walk. 0 forces the voxel walk everywhere.
+        self._use_columns = bool(retrieve_option_or_default(
+            options, "CARVE_COLUMNS", 1, logging_fn))
         self._name = jax.devices()[0].platform
         if logging_fn:
             logging_fn(f"AcceleratorPointCloudVoxelizer on {self._name}")
 
-        from .voxelize import raycast_pointcloud, combine_and_filter
+        from .voxelize import (raycast_pointcloud,
+                               raycast_pointcloud_columns,
+                               combine_and_filter)
 
-        def carve(origin_transform, clouds, spec):
-            grids = [raycast_pointcloud(spec, origin_transform, cloud,
-                                        self._max_steps,
-                                        ray_chunk=self._ray_chunk)
-                     for cloud in clouds]
+        def carve(origin_transform, clouds, spec, run_axes):
+            grids = []
+            for cloud, axis in zip(clouds, run_axes):
+                if axis is None:
+                    grids.append(raycast_pointcloud(
+                        spec, origin_transform, cloud, self._max_steps,
+                        ray_chunk=self._ray_chunk))
+                else:
+                    grids.append(raycast_pointcloud_columns(
+                        spec, origin_transform, cloud, self._max_steps,
+                        ray_chunk=max(self._ray_chunk, 65536),
+                        run_axis=axis))
             seen_free = jnp.stack([g.seen_free for g in grids])
             seen_filled = jnp.stack([g.seen_filled for g in grids])
             return seen_free, seen_filled
 
-        self._carve = jax.jit(carve, static_argnums=2)
+        self._carve = jax.jit(carve, static_argnums=(2, 3))
         self._filter = jax.jit(combine_and_filter, static_argnums=0)
+
+    def _pick_run_axes(self, pointclouds, grid_origin_transform):
+        """Static per-cloud carve choice: column carve with the dominant
+        grid axis for real-size clouds, voxel walk (None) for tiny ones
+        (decided eagerly — cloud data is concrete at this API boundary)."""
+        from .voxelize import dominant_ray_axis
+        axes = []
+        for cloud in pointclouds:
+            if not self._use_columns or cloud.points.shape[0] < 4096:
+                axes.append(None)
+            else:
+                axes.append(dominant_ray_axis(cloud, grid_origin_transform))
+        return tuple(axes)
 
     def voxelize_pointclouds(self, static_environment: OccupancyMap,
                              filter_options: FilterOptions,
@@ -124,9 +152,12 @@ class AcceleratorPointCloudVoxelizer:
                                         max_steps=self._max_steps)
         from ..utils import force_materialize
         spec = static_environment.spec
+        run_axes = self._pick_run_axes(pointclouds,
+                                       static_environment.origin_transform)
         t0 = time.monotonic()
         seen_free, seen_filled = self._carve(
-            static_environment.origin_transform, tuple(pointclouds), spec)
+            static_environment.origin_transform, tuple(pointclouds), spec,
+            run_axes)
         if runtime_log_fn is not None:
             force_materialize(seen_free)
         t1 = time.monotonic()

@@ -136,9 +136,26 @@ def _ray_visits(spec: GridSpec, p_start_grid: Array, start_index: Array,
     fx, fy, fz = final_index[:, 0], final_index[:, 1], final_index[:, 2]
     sx, sy, sz = step[:, 0], step[:, 1], step[:, 2]
     dtx, dty, dtz = delta_t[:, 0], delta_t[:, 1], delta_t[:, 2]
+    tx0, ty0, tz0 = t0[:, 0], t0[:, 1], t0[:, 2]
+
+    # t values are computed in closed form per axis (t0 + k * dt with an
+    # exact integer step counter k) instead of the reference's serial
+    # ``t += dt`` accumulation: both are valid DDA orderings (they differ
+    # only in float rounding at cell-boundary ties), and the closed form is
+    # what the column-marching twin (_column_carve_chunk) can reproduce
+    # BIT-EXACTLY — keeping the two accelerator paths equal on every voxel,
+    # not just in aggregate.
+    # Zeroed infinite deltas: k stays 0 on axes that never step, so
+    # t == t0 == +inf is preserved without 0 * inf NaNs.
+    dtx_s = jnp.where(jnp.isfinite(dtx), dtx, 0.0)
+    dty_s = jnp.where(jnp.isfinite(dty), dty, 0.0)
+    dtz_s = jnp.where(jnp.isfinite(dtz), dtz, 0.0)
 
     def body(state, _):
-        cx_, cy_, cz_, tx, ty, tz, active = state
+        cx_, cy_, cz_, kx, ky, kz, active = state
+        tx = tx0 + kx.astype(jnp.float32) * dtx_s
+        ty = ty0 + ky.astype(jnp.float32) * dty_s
+        tz = tz0 + kz.astype(jnp.float32) * dtz_s
         running = active & ((cx_ != fx) | (cy_ != fy) | (cz_ != fz))
         in_b = ((cx_ >= 0) & (cx_ < n_counts[0])
                 & (cy_ >= 0) & (cy_ < n_counts[1])
@@ -156,17 +173,19 @@ def _ray_visits(spec: GridSpec, p_start_grid: Array, start_index: Array,
         adv_x = alive & pick_x
         adv_y = alive & pick_y
         adv_z = alive & pick_z
+        one = jnp.int32(1)
         new = (jnp.where(adv_x, cx_ + sx, cx_),
                jnp.where(adv_y, cy_ + sy, cy_),
                jnp.where(adv_z, cz_ + sz, cz_),
-               jnp.where(adv_x, tx + dtx, tx),
-               jnp.where(adv_y, ty + dty, ty),
-               jnp.where(adv_z, tz + dtz, tz),
+               jnp.where(adv_x, kx + one, kx),
+               jnp.where(adv_y, ky + one, ky),
+               jnp.where(adv_z, kz + one, kz),
                alive)
         return new, visit
 
+    zero_k = jnp.zeros_like(start_index[:, 0], dtype=jnp.int32)
     init = (start_index[:, 0], start_index[:, 1], start_index[:, 2],
-            t0[:, 0], t0[:, 1], t0[:, 2], hit)
+            zero_k, zero_k, zero_k, hit)
     return init, body, endpoint_flat, endpoint_is_filled
 
 
@@ -195,15 +214,34 @@ def _walk_and_scatter(init, body, free_counts, max_steps: int):
     return free_counts
 
 
+def _norm3_canonical(v: Array) -> Array:
+    """Euclidean norm over the last axis of ``[..., 3]`` with an
+    order-canonical summation (ascending squares via a median-of-3 select),
+    so the result is bit-identical under any axis permutation — required
+    for the permuted-frame column carve to reproduce the identity-frame
+    walk exactly."""
+    sq = v * v
+    a, b, c = sq[..., 0], sq[..., 1], sq[..., 2]
+    lo = jnp.minimum(jnp.minimum(a, b), c)
+    hi = jnp.maximum(jnp.maximum(a, b), c)
+    mid = jnp.maximum(jnp.minimum(a, b), jnp.minimum(jnp.maximum(a, b), c))
+    return jnp.sqrt((lo + mid) + hi)
+
+
 def _prepare_rays(spec: GridSpec, X_GC: Array, points: Array,
-                  max_range: Array):
-    """Per-ray setup: range clip + grid entry clip (cpp:216-290)."""
+                  max_range: Array, slab_axis_order=(0, 1, 2)):
+    """Per-ray setup: range clip + grid entry clip (cpp:216-290).
+
+    ``slab_axis_order`` fixes the axis visit order of the entry slab test's
+    prefix accumulation (its ``miss`` flag is order-sensitive for grazing
+    rays); the column-carve path passes the inverse axis permutation so the
+    permuted-frame clip is bit-identical to the identity-frame one."""
     p_gco = X_GC[:3, 3]
     p_gp = transforms.apply_isometry(X_GC, points)  # [N, 3]
     finite = jnp.all(jnp.isfinite(points), axis=-1)
 
     ray = p_gp - p_gco
-    ray_len = jnp.linalg.norm(ray, axis=-1)
+    ray_len = _norm3_canonical(ray)
     clipped = ray_len > max_range
     scale = jnp.where(ray_len > 0, max_range / jnp.maximum(ray_len, 1e-30),
                       0.0)
@@ -245,7 +283,7 @@ def _prepare_rays(spec: GridSpec, X_GC: Array, points: Array,
     tmax0 = seed + jnp.broadcast_to(max_range, (n,)).astype(jnp.float32)
     miss0 = seed > 0.0  # all False, varying like points
     (tmin, _, miss), _ = lax.scan(slab, (tmin0, tmax0, miss0),
-                                  jnp.arange(3))
+                                  jnp.asarray(slab_axis_order, jnp.int32))
     # The reference nudges the entry point 1e-10 into the grid (cpp:287-289);
     # that vanishes in f32 (boundary-exact entries would index out of bounds
     # and kill the whole ray), so the nudge scales with the voxel size.
@@ -318,6 +356,307 @@ def raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
     (free_counts, filled_counts), _ = lax.scan(chunk_body, init, points)
     return TrackingGrid(seen_free=free_counts.reshape(spec.counts),
                         seen_filled=filled_counts.reshape(spec.counts))
+
+
+def _column_carve_chunk(spec: GridSpec, p_start: Array, start_idx: Array,
+                        final_idx: Array, ray: Array, hit: Array,
+                        free_rows: Array, m_max: int,
+                        run_beats_c1: bool = False,
+                        run_beats_c2: bool = False,
+                        c1_beats_c2: bool = True) -> Array:
+    """Column-marching DDA: one iteration per visited (x, y) COLUMN.
+
+    The voxel walk (``_ray_visits``) pays one scatter element per visited
+    voxel — and the TPU scatter engine costs ~6.5 ns/element regardless of
+    locality, bin count, or dtype (measured, BASELINE.md), which is the
+    entire carve bottleneck. But a ray's visits within one xy column are a
+    CONTIGUOUS z run, so this walk advances column-by-column and emits the
+    whole run as ONE ``[nz]``-wide masked row scatter-add (a 512-byte row
+    costs ~10 ns — barely more than a scalar element). Element count drops
+    from (path voxels) to (path columns): ~4-6x fewer for depth-camera
+    bundles marching near the grid's z axis.
+
+    Semantics mirror cpu_pointcloud_voxelization.cpp:292-435: the start
+    voxel is marked, the final voxel is not, walks stop when the stepped
+    axis reaches the final coordinate (the reference's early-break) or at
+    the first out-of-bounds voxel. The z-step count per column is the
+    closed form ``ceil((min(tx,ty) - tz) / dtz)`` rather than the
+    reference's serially accumulated comparisons, so t values can differ by
+    float rounding at exact cell-boundary ties — the same class of
+    divergence the reference accepts between its own CPU (double) and
+    CUDA/OpenCL (float) backends, validated by the shared oracle
+    (pointcloud_voxelization_test.cpp:275-295).
+    """
+    nx, ny, nz = spec.counts
+    res = jnp.float32(spec.resolution)
+    half = res * 0.5
+
+    step = jnp.sign(final_idx - start_idx).astype(jnp.int32)
+    start_center = spec.grid_index_to_location_in_grid_frame(start_idx)
+    t_pos = jnp.abs((start_center + half - p_start) / ray)
+    t_neg = jnp.abs((p_start - (start_center - half)) / ray)
+    t0 = jnp.where(ray > 0.0, t_pos, jnp.where(ray < 0.0, t_neg, jnp.inf))
+    delta = jnp.where(ray != 0.0, jnp.abs(res / ray), jnp.inf)
+
+    cx, cy, z0 = start_idx[:, 0], start_idx[:, 1], start_idx[:, 2]
+    fx, fy, fz = final_idx[:, 0], final_idx[:, 1], final_idx[:, 2]
+    sx, sy, sz = step[:, 0], step[:, 1], step[:, 2]
+    tx0, ty0, tz0 = t0[:, 0], t0[:, 1], t0[:, 2]
+    dtx, dty, dtz = delta[:, 0], delta[:, 1], delta[:, 2]
+    # Safe deltas for closed-form t (k stays 0 on axes that never step, so
+    # zeroing an infinite delta keeps t == t0 == +inf without 0 * inf NaNs).
+    dtx_s = jnp.where(jnp.isfinite(dtx), dtx, 0.0)
+    dty_s = jnp.where(jnp.isfinite(dty), dty, 0.0)
+    dtz_s = jnp.where(jnp.isfinite(dtz), dtz, 0.0)
+
+    big = jnp.int32(2 * (nx + ny + nz))
+    n_rows = nx * ny
+    zrange = jnp.arange(nz, dtype=jnp.int32)[None, :]
+
+    def tz_at(k):
+        return tz0 + k.astype(jnp.float32) * dtz_s
+
+    alive0 = hit & ~((cx == fx) & (cy == fy) & (z0 == fz))
+    # Start voxel must be in bounds (callers clip entry), but guard anyway.
+    alive0 = alive0 & (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny) \
+        & (z0 >= 0) & (z0 < nz)
+
+    def cond(state):
+        i = state[0]
+        alive = state[7]
+        return (i < m_max) & jnp.any(alive)
+
+    def body(state):
+        i, cx, cy, z, kx, ky, kz, alive, rows = state
+        tx = tx0 + kx.astype(jnp.float32) * dtx_s
+        ty = ty0 + ky.astype(jnp.float32) * dty_s
+        tz = tz_at(kz)
+        # Column pick and run-vs-column ties replicate the reference's
+        # fixed x >= y >= z priority mapped through the axis permutation
+        # (the run/c1/c2 booleans are derived from run_axis by the caller).
+        pick_c1 = jnp.where(tx == ty, jnp.bool_(c1_beats_c2), tx < ty)
+        m = jnp.where(pick_c1, tx, ty)
+        run_tie_wins = jnp.where(pick_c1, jnp.bool_(run_beats_c1),
+                                 jnp.bool_(run_beats_c2))
+        at_final_col = (cx == fx) & (cy == fy)
+
+        # z-steps demanded before the column changes: first crossing index
+        # j >= kz that is NOT consumed before the column step. Crossing j
+        # (time fl(tz0 + j*dtz)) is consumed while its time < m, or == m
+        # when the run axis outranks the picked column. The closed form
+        # lands within one of the true j; the +/-1 sweeps below pin it to
+        # the EXACT float comparisons the voxel walk makes, keeping the two
+        # paths bit-identical.
+        def consumed(jv):
+            cj = tz_at(jv)
+            return (cj < m) | (run_tie_wins & (cj == m))
+
+        frac = (m - tz) / dtz
+        frac = jnp.where(jnp.isfinite(frac), frac,
+                         big.astype(jnp.float32))
+        j = kz + jnp.where(tz < m,
+                           jnp.clip(jnp.ceil(jnp.maximum(frac, 0.0)), 0,
+                                    big.astype(jnp.float32)),
+                           0.0).astype(jnp.int32)
+        for _ in range(2):
+            j = jnp.where((j > kz) & ~consumed(j - 1), j - 1, j)
+        for _ in range(2):
+            j = jnp.where(consumed(j), j + 1, j)
+        n_raw = jnp.clip(j - kz, 0, big)
+
+        # z-steps until z == fz. With sz == 0 the start and final share the
+        # z layer and z never moves, so z is ALREADY at fz: any demanded z
+        # pick breaks immediately (cpp:420-434 with z_step == 0), and in
+        # the final column current == final fires with nothing to mark.
+        n_to_fz = jnp.where(sz != 0, jnp.maximum((fz - z) * sz, 0), 0)
+        n_edge = jnp.where(sz > 0, (nz - 1) - z,
+                           jnp.where(sz < 0, z, big))
+
+        # Walk-terminating clamps inside this column:
+        #  * z reaches the final z coordinate; the next z pick breaks AFTER
+        #    the loop top marked fz (non-final column) — run ends at fz.
+        #  * in the final column the loop-top current==final exit fires
+        #    BEFORE marking fz — run ends at fz - sz.
+        #  * stepping past the grid edge: the stepped-to voxel is never
+        #    marked — run ends at the edge voxel.
+        end_fz = (n_raw > n_to_fz) & ~at_final_col
+        end_fz_final = at_final_col & (n_raw >= n_to_fz)
+        n_eff = jnp.minimum(n_raw, n_edge)
+        n_eff = jnp.where(end_fz, n_to_fz, n_eff)
+        n_eff = jnp.where(end_fz_final, n_to_fz - 1, n_eff)
+        end_oob_z = (~end_fz & ~end_fz_final) & (n_raw > n_edge)
+        column_done = end_fz | end_fz_final | end_oob_z
+
+        z_end = z + sz * n_eff
+        # end_fz_final with n_to_fz == 0 means the column's only voxel IS
+        # the final voxel -> nothing to mark this iteration.
+        emit = alive & ~(end_fz_final & (n_to_fz == 0))
+
+        zmin = jnp.minimum(z, z_end)
+        zmax = jnp.maximum(z, z_end)
+        mask = ((zrange >= zmin[:, None]) & (zrange <= zmax[:, None]))
+        row_idx = jnp.where(emit, cx * ny + cy, n_rows)
+        rows = rows.at[row_idx].add(mask.astype(free_rows.dtype),
+                                    mode="drop")
+
+        # Column step (only for lanes not terminated inside the column).
+        pick_x = pick_c1
+        # Early break: stepping an axis already at its final coordinate
+        # (cpp:405-434); current voxel was already marked by this run.
+        break_b = jnp.where(pick_x, cx == fx, cy == fy)
+        ncx = jnp.where(pick_x, cx + sx, cx)
+        ncy = jnp.where(pick_x, cy, cy + sy)
+        oob_col = (ncx < 0) | (ncx >= nx) | (ncy < 0) | (ncy >= ny)
+        step_ok = ~column_done & ~break_b & ~oob_col
+
+        alive_next = alive & step_ok
+        one = jnp.int32(1)
+        new_cx = jnp.where(alive_next & pick_x, ncx, cx)
+        new_cy = jnp.where(alive_next & ~pick_x, ncy, cy)
+        new_kx = jnp.where(alive_next & pick_x, kx + one, kx)
+        new_ky = jnp.where(alive_next & ~pick_x, ky + one, ky)
+        new_z = jnp.where(alive_next, z_end, z)
+        new_kz = jnp.where(alive_next, kz + n_eff, kz)
+        return (i + 1, new_cx, new_cy, new_z, new_kx, new_ky, new_kz,
+                alive_next, rows)
+
+    zero_k = jnp.zeros_like(cx, dtype=jnp.int32)
+    state = (jnp.int32(0), cx, cy, z0, zero_k, zero_k, zero_k, alive0,
+             free_rows)
+    state = lax.while_loop(cond, body, state)
+    return state[8]
+
+
+_AXIS_PERMS = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
+
+
+def raycast_pointcloud_columns(spec: GridSpec, grid_origin_transform: Array,
+                               cloud: PointCloud,
+                               max_steps: Optional[int] = None,
+                               ray_chunk: int = 65536,
+                               run_axis: int = 2) -> TrackingGrid:
+    """Column-marching twin of :func:`raycast_pointcloud` (same tracking-grid
+    output; see :func:`_column_carve_chunk` for the scatter-volume argument
+    and the float-tie caveat). ``run_axis`` selects which grid axis becomes
+    the contiguous run direction — pick the camera bundle's dominant axis;
+    rays orthogonal to it degrade to one element per voxel (the walk path's
+    column count equals its voxel count there)."""
+    perm = _AXIS_PERMS[int(run_axis)]
+    # Reference priority x >= y >= z mapped into the permuted frame:
+    # which axis wins each pairwise tie is decided by ORIGINAL axis id.
+    c1_old, c2_old, run_old = perm
+    tie_flags = dict(run_beats_c1=run_old < c1_old,
+                     run_beats_c2=run_old < c2_old,
+                     c1_beats_c2=c1_old < c2_old)
+    if perm != (0, 1, 2):
+        # Carve in a permuted grid frame where run_axis is last; counts are
+        # invariant to axis relabeling, so permute back at the end. (The
+        # entry slab clip runs per permuted axis order here; its
+        # accumulation order can differ from the original frame's at exact
+        # boundary grazes — same tolerance class as the t ties.)
+        p4 = np.zeros((4, 4), np.float32)
+        for new_ax, old_ax in enumerate(perm):
+            p4[new_ax, old_ax] = 1.0
+        p4[3, 3] = 1.0
+        pspec = GridSpec(tuple(spec.counts[a] for a in perm),
+                        spec.resolution)
+        porigin = (jnp.asarray(grid_origin_transform, jnp.float32)
+                   @ jnp.asarray(p4, jnp.float32).T)
+        inv = tuple(np.argsort(perm))
+        grid = _raycast_columns_impl(pspec, porigin, cloud, max_steps,
+                                     ray_chunk, tie_flags,
+                                     slab_axis_order=inv)
+        return TrackingGrid(
+            seen_free=jnp.transpose(grid.seen_free, inv),
+            seen_filled=jnp.transpose(grid.seen_filled, inv))
+    return _raycast_columns_impl(spec, grid_origin_transform, cloud,
+                                 max_steps, ray_chunk, tie_flags)
+
+
+def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
+                          cloud: PointCloud, max_steps: Optional[int],
+                          ray_chunk: int, tie_flags: dict,
+                          slab_axis_order=(0, 1, 2)) -> TrackingGrid:
+    nx, ny, nz = spec.counts
+    X_GW = transforms.invert_isometry(grid_origin_transform)
+    X_GC = X_GW @ cloud.origin_transform
+
+    n_rays = cloud.points.shape[0]
+    if n_rays == 0:
+        zero = jnp.zeros(spec.counts, jnp.int32)
+        return TrackingGrid(zero, zero)
+
+    m_max = nx + ny + 2 if max_steps is None else int(max_steps)
+
+    chunk = min(ray_chunk, max(n_rays, 1))
+    pad = (-n_rays) % chunk
+
+    # Sort rays by projected xy-path length so each chunk's column budget
+    # (the while_loop runs to the chunk MAX) matches its rays: without this
+    # one grazing ray drags a whole chunk of short rays through dead-lane
+    # scatter rows, which cost nearly as much as live ones (measured).
+    raw_points = cloud.points
+    if n_rays > chunk:
+        p_world = transforms.apply_isometry(X_GC, raw_points)
+        origin = X_GC[:3, 3]
+        start_i = spec.location_in_grid_frame_to_grid_index(origin)
+        final_i = spec.location_in_grid_frame_to_grid_index(p_world)
+        m_est = (jnp.abs(final_i[:, 0] - start_i[0])
+                 + jnp.abs(final_i[:, 1] - start_i[1]))
+        m_est = jnp.where(jnp.all(jnp.isfinite(raw_points), axis=-1),
+                          m_est, jnp.int32(0))
+        order = jnp.argsort(m_est)
+        raw_points = raw_points[order]
+
+    points = jnp.pad(raw_points, ((0, pad), (0, 0)),
+                     constant_values=jnp.inf)
+    points = points.reshape(-1, chunk, 3)
+
+    def chunk_body(carry, chunk_points):
+        free_rows, filled_counts = carry
+        (p_start, start_idx, p_final, final_idx, ray, hit,
+         clipped) = _prepare_rays(spec, X_GC, chunk_points, cloud.max_range,
+                                  slab_axis_order=slab_axis_order)
+        free_rows = _column_carve_chunk(spec, p_start, start_idx, final_idx,
+                                        ray, hit, free_rows, m_max,
+                                        **tie_flags)
+        final_in = spec.check_grid_index_in_bounds(final_idx)
+        endpoint_flat = jnp.where(
+            hit & final_in, spec.flat_index(final_idx).astype(jnp.int32), -1)
+        free_flat = jnp.where(clipped, endpoint_flat, -1)
+        filled_flat = jnp.where(clipped, -1, endpoint_flat)
+        # Endpoint free marks land in the row grid too (flat = row*nz + z).
+        free_rows = free_rows.reshape(-1)
+        free_rows = _scatter_counts(free_rows, free_flat).reshape(
+            nx * ny, nz)
+        return (free_rows, _scatter_counts(filled_counts, filled_flat)), None
+
+    vary = jnp.any(jnp.zeros((), dtype=bool) & jnp.isfinite(points[0, 0, 0]))
+    zero_rows = (jnp.where(vary, 1, 0).astype(jnp.int32)
+                 + jnp.zeros((nx * ny, nz), jnp.int32))
+    zero_counts = (jnp.where(vary, 1, 0).astype(jnp.int32)
+                   + jnp.zeros(spec.num_total, jnp.int32))
+    (free_rows, filled_counts), _ = lax.scan(
+        chunk_body, (zero_rows, zero_counts), points)
+    return TrackingGrid(seen_free=free_rows.reshape(spec.counts),
+                        seen_filled=filled_counts.reshape(spec.counts))
+
+
+def dominant_ray_axis(cloud: PointCloud,
+                      grid_origin_transform=None) -> int:
+    """Best ``run_axis`` for :func:`raycast_pointcloud_columns`: the GRID
+    axis most aligned with the cloud's mean ray direction (eager helper —
+    call with concrete data, not under jit)."""
+    pts = np.asarray(cloud.points)
+    finite = np.all(np.isfinite(pts), axis=-1)
+    if not finite.any():
+        return 2
+    X_GC = np.asarray(cloud.origin_transform, np.float64)
+    if grid_origin_transform is not None:
+        X_GC = np.linalg.inv(np.asarray(grid_origin_transform,
+                                        np.float64)) @ X_GC
+    mean_dir = (pts[finite] @ X_GC[:3, :3].T).mean(axis=0)
+    return int(np.argmax(np.abs(mean_dir)))
 
 
 def raycast_single_point(spec: GridSpec, grid_origin_transform: Array,
