@@ -131,6 +131,43 @@ def main():
     except Exception:
         pass
 
+    # --- Carve benchmark (config2: 640x480 depth camera -> 128^3) -------
+    # Column-marching carve (ops/voxelize.raycast_pointcloud_columns) vs
+    # the reference-equivalent native CPU DDA on this host.
+    carve_rays_per_sec = None
+    native_carve_rays_per_sec = None
+    try:
+        import dataclasses
+        from voxelized_geometry_tools_tpu import GridSpec as _GS
+        from voxelized_geometry_tools_tpu.ops import voxelize as _vx
+        cspec = _GS.from_voxel_counts(0.02, (128, 128, 128))
+        cu, cv = np.meshgrid(np.linspace(-0.5, 0.5, 640),
+                             np.linspace(-0.4, 0.4, 480), indexing="ij")
+        cdep = 2.2 + 0.2 * np.sin(6 * cu) * np.cos(6 * cv)
+        cpts = np.stack([cu * cdep, cv * cdep, cdep], -1).reshape(-1, 3)
+        cpose = np.eye(4, dtype=np.float32)
+        cpose[:3, 3] = (1.28, 1.28, -1.0)
+        ccloud = _vx.PointCloud.create(cpts.astype(np.float32), cpose)
+        carve_fn = jax.jit(lambda p: _vx.raycast_pointcloud_columns(
+            cspec, jnp.eye(4), dataclasses.replace(ccloud, points=p),
+            run_axis=2).seen_free)
+        out = carve_fn(ccloud.points)
+        _force(out)
+        t0 = time.monotonic()
+        out = carve_fn(ccloud.points)
+        _force(out)
+        carve_rays_per_sec = cpts.shape[0] / (time.monotonic() - t0)
+        from voxelized_geometry_tools_tpu import native
+        if native.available():
+            t0 = time.monotonic()
+            native.raycast(cpose[:3, 3].astype(np.float32),
+                           (cpts + cpose[:3, 3]).astype(np.float32),
+                           float("inf"), cspec.counts, cspec.resolution, 0)
+            native_carve_rays_per_sec = cpts.shape[0] / (
+                time.monotonic() - t0)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "rays_per_sec_chip_512cube_sdf_raycast",
         "value": rays_per_sec,
@@ -148,6 +185,9 @@ def main():
             "tpu_edt_speedup_vs_reference_cpu": (
                 edt_voxels_per_sec / native_edt_rate
                 if native_edt_rate else None),
+            "carve_rays_per_sec_config2": carve_rays_per_sec,
+            "native_cpu_carve_rays_per_sec_config2":
+                native_carve_rays_per_sec,
         },
     }))
 

@@ -223,9 +223,11 @@ def _compare_grids(a, b):
                                   np.asarray(b.seen_filled))
 
 
-def test_columns_bit_exact_vs_walk():
+@pytest.mark.parametrize("accumulate", ["rows", "diff"])
+def test_columns_bit_exact_vs_walk(accumulate):
     """raycast_pointcloud_columns must equal the voxel walk on every voxel
-    (both use closed-form t with permutation-mapped tie priorities)."""
+    (both use closed-form t with permutation-mapped tie priorities), in
+    both accumulation modes."""
     rng = np.random.default_rng(42)
     spec = GridSpec.from_voxel_counts(0.05, (20, 24, 28))
     o = rng.uniform(0.2, 0.9, 3)
@@ -236,12 +238,16 @@ def test_columns_bit_exact_vs_walk():
     walk = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud)
     for axis in (0, 1, 2):
         cols = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
-                                                   run_axis=axis)
+                                                   run_axis=axis,
+                                                   accumulate=accumulate)
         _compare_grids(walk, cols)
 
 
-def test_columns_bit_exact_clipped_and_origin():
-    """Range-clipped rays + non-identity grid origin, all run axes."""
+@pytest.mark.parametrize("accumulate", ["rows", "diff"])
+def test_columns_bit_exact_clipped_and_origin(accumulate):
+    """Range-clipped rays + non-identity grid origin, all run axes. Also
+    covers final voxels beyond the grid (the edge-clamp-over-final rule)
+    and mixed-sign z marches (the B- diff buckets)."""
     rng = np.random.default_rng(3)
     spec = GridSpec.from_voxel_counts(0.04, (25, 25, 25))
     origin = transforms.isometry_from_translation((0.2, -0.1, 0.05))
@@ -253,7 +259,23 @@ def test_columns_bit_exact_clipped_and_origin():
     walk = voxelize.raycast_pointcloud(spec, origin, cloud)
     for axis in (0, 1, 2):
         cols = voxelize.raycast_pointcloud_columns(spec, origin, cloud,
-                                                   run_axis=axis)
+                                                   run_axis=axis,
+                                                   accumulate=accumulate)
+        _compare_grids(walk, cols)
+
+
+def test_columns_bit_exact_camera_inside():
+    """Camera inside the grid: rays march both z directions at once."""
+    rng = np.random.default_rng(8)
+    spec = GridSpec.from_voxel_counts(0.05, (24, 24, 24))
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0.6, 0.6, 0.55)
+    pts = rng.uniform(-1.2, 1.2, (1500, 3)).astype(np.float32)
+    cloud = voxelize.PointCloud.create(pts, pose)
+    walk = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud)
+    for accumulate in ("rows", "diff"):
+        cols = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
+                                                   accumulate=accumulate)
         _compare_grids(walk, cols)
 
 

@@ -479,8 +479,14 @@ def _column_carve_chunk(spec: GridSpec, p_start: Array, start_idx: Array,
         #    BEFORE marking fz — run ends at fz - sz.
         #  * stepping past the grid edge: the stepped-to voxel is never
         #    marked — run ends at the edge voxel.
-        end_fz = (n_raw > n_to_fz) & ~at_final_col
-        end_fz_final = at_final_col & (n_raw >= n_to_fz)
+        # The grid-edge clamp outranks the final-z clamps: a final voxel
+        # beyond the grid is never reached — the walk exits at the edge
+        # (otherwise z_end overruns the grid and, in the diff variant, the
+        # exit element's slot would spill into the next column's section).
+        end_fz = ((n_raw > n_to_fz) & ~at_final_col
+                  & (n_to_fz <= n_edge))
+        end_fz_final = (at_final_col & (n_raw >= n_to_fz)
+                        & (n_to_fz - 1 <= n_edge))
         n_eff = jnp.minimum(n_raw, n_edge)
         n_eff = jnp.where(end_fz, n_to_fz, n_eff)
         n_eff = jnp.where(end_fz_final, n_to_fz - 1, n_eff)
@@ -527,6 +533,231 @@ def _column_carve_chunk(spec: GridSpec, p_start: Array, start_idx: Array,
     return state[8]
 
 
+def _column_carve_chunk_diff(spec: GridSpec, p_start: Array,
+                             start_idx: Array, final_idx: Array, ray: Array,
+                             hit: Array, bucket_grid: Array, m_max: int,
+                             run_beats_c1: bool = False,
+                             run_beats_c2: bool = False,
+                             c1_beats_c2: bool = True) -> Array:
+    """Diff-scatter twin of :func:`_column_carve_chunk`: ONE SCALAR scatter
+    element per visited column instead of a ``[nz]``-wide row (~6.6 vs
+    ~10 ns each, measured — the last constant factor on the carve).
+
+    Each column's z-run is encoded by its ENTRY element ``(column, z_in)``;
+    the run's two diff endpoints (+1 at its low z, -1 above its high z) are
+    recovered in :func:`_combine_diff_buckets` from that element and the
+    NEXT column's entry element — which sits at a fixed offset (the xy step
+    direction, one z level) — so elements are bucketed by (step direction,
+    z-march sign) and the endpoint algebra becomes nine dense shifted adds
+    + one z cumsum. Entry/exit elements close each ray's first/last run;
+    a run that dies unmarked in its entry column is cancelled exactly by
+    its exit element (the ``n_eff = -1`` algebra).
+
+    ``bucket_grid`` is int32 ``[10, nx*ny, nz+2]`` (D, B0, 4x B+, 4x B-);
+    the walk itself is identical to the rows variant, so the result after
+    :func:`_combine_diff_buckets` is bit-equal to the voxel walk.
+    """
+    nx, ny, nz = spec.counts
+    res = jnp.float32(spec.resolution)
+    half = res * 0.5
+
+    step = jnp.sign(final_idx - start_idx).astype(jnp.int32)
+    start_center = spec.grid_index_to_location_in_grid_frame(start_idx)
+    t_pos = jnp.abs((start_center + half - p_start) / ray)
+    t_neg = jnp.abs((p_start - (start_center - half)) / ray)
+    t0 = jnp.where(ray > 0.0, t_pos, jnp.where(ray < 0.0, t_neg, jnp.inf))
+    delta = jnp.where(ray != 0.0, jnp.abs(res / ray), jnp.inf)
+
+    cx, cy, z0 = start_idx[:, 0], start_idx[:, 1], start_idx[:, 2]
+    fx, fy, fz = final_idx[:, 0], final_idx[:, 1], final_idx[:, 2]
+    sx, sy, sz = step[:, 0], step[:, 1], step[:, 2]
+    tx0, ty0, tz0 = t0[:, 0], t0[:, 1], t0[:, 2]
+    dtx, dty, dtz = delta[:, 0], delta[:, 1], delta[:, 2]
+    dtx_s = jnp.where(jnp.isfinite(dtx), dtx, 0.0)
+    dty_s = jnp.where(jnp.isfinite(dty), dty, 0.0)
+    dtz_s = jnp.where(jnp.isfinite(dtz), dtz, 0.0)
+
+    big = jnp.int32(2 * (nx + ny + nz))
+    n_rows = nx * ny
+    sec = n_rows * (nz + 2)  # one bucket section
+    n_flat = 10 * sec
+
+    def tz_at(k):
+        return tz0 + k.astype(jnp.float32) * dtz_s
+
+    def el_index(bucket, col_flat, zslot):
+        return bucket * sec + col_flat * (nz + 2) + zslot
+
+    def scatter(grid_flat, idx, val, on):
+        safe = jnp.where(on, idx, n_flat)
+        return grid_flat.at[safe].add(jnp.where(on, val, 0), mode="drop")
+
+    alive0 = hit & ~((cx == fx) & (cy == fy) & (z0 == fz))
+    alive0 = alive0 & (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny) \
+        & (z0 >= 0) & (z0 < nz)
+
+    grid_flat = bucket_grid.reshape(-1)
+    col0 = cx * ny + cy
+    # Entry element: opens the first run (sz > 0: +1 at its low z; sz < 0:
+    # -1 above its high z; sz == 0: the self-contained B0 pair).
+    entry_bucket = jnp.where(sz == 0, 1, 0)
+    entry_slot = jnp.where(sz < 0, z0 + 1, z0)
+    entry_val = jnp.where(sz < 0, -1, 1)
+    grid_flat = scatter(grid_flat, el_index(entry_bucket, col0, entry_slot),
+                        entry_val, alive0)
+
+    def cond(state):
+        i = state[0]
+        alive = state[7]
+        return (i < m_max) & jnp.any(alive)
+
+    def body(state):
+        (i, cx, cy, z, kx, ky, kz, alive, exit_col, exit_z, exit_on,
+         gflat) = state
+        tx = tx0 + kx.astype(jnp.float32) * dtx_s
+        ty = ty0 + ky.astype(jnp.float32) * dty_s
+        tz = tz_at(kz)
+        pick_c1 = jnp.where(tx == ty, jnp.bool_(c1_beats_c2), tx < ty)
+        m = jnp.where(pick_c1, tx, ty)
+        run_tie_wins = jnp.where(pick_c1, jnp.bool_(run_beats_c1),
+                                 jnp.bool_(run_beats_c2))
+        at_final_col = (cx == fx) & (cy == fy)
+
+        def consumed(jv):
+            cj = tz_at(jv)
+            return (cj < m) | (run_tie_wins & (cj == m))
+
+        frac = (m - tz) / dtz
+        frac = jnp.where(jnp.isfinite(frac), frac, big.astype(jnp.float32))
+        j = kz + jnp.where(tz < m,
+                           jnp.clip(jnp.ceil(jnp.maximum(frac, 0.0)), 0,
+                                    big.astype(jnp.float32)),
+                           0.0).astype(jnp.int32)
+        for _ in range(2):
+            j = jnp.where((j > kz) & ~consumed(j - 1), j - 1, j)
+        for _ in range(2):
+            j = jnp.where(consumed(j), j + 1, j)
+        n_raw = jnp.clip(j - kz, 0, big)
+
+        n_to_fz = jnp.where(sz != 0, jnp.maximum((fz - z) * sz, 0), 0)
+        n_edge = jnp.where(sz > 0, (nz - 1) - z,
+                           jnp.where(sz < 0, z, big))
+        # The grid-edge clamp outranks the final-z clamps: a final voxel
+        # beyond the grid is never reached — the walk exits at the edge
+        # (otherwise z_end overruns the grid and, in the diff variant, the
+        # exit element's slot would spill into the next column's section).
+        end_fz = ((n_raw > n_to_fz) & ~at_final_col
+                  & (n_to_fz <= n_edge))
+        end_fz_final = (at_final_col & (n_raw >= n_to_fz)
+                        & (n_to_fz - 1 <= n_edge))
+        n_eff = jnp.minimum(n_raw, n_edge)
+        n_eff = jnp.where(end_fz, n_to_fz, n_eff)
+        n_eff = jnp.where(end_fz_final, n_to_fz - 1, n_eff)
+        end_oob_z = (~end_fz & ~end_fz_final) & (n_raw > n_edge)
+        column_done = end_fz | end_fz_final | end_oob_z
+        z_end = z + sz * n_eff
+
+        pick_x = pick_c1
+        break_b = jnp.where(pick_x, cx == fx, cy == fy)
+        ncx = jnp.where(pick_x, cx + sx, cx)
+        ncy = jnp.where(pick_x, cy, cy + sy)
+        oob_col = (ncx < 0) | (ncx >= nx) | (ncy < 0) | (ncy >= ny)
+        step_ok = ~column_done & ~break_b & ~oob_col
+        alive_next = alive & step_ok
+        dying = alive & ~step_ok
+
+        # Column element for the stepped-into column: bucketed by the xy
+        # step direction and z sign (delta code 0..3 = x+, x-, y+, y-).
+        dcode = jnp.where(pick_x, jnp.where(sx > 0, 0, 1),
+                          jnp.where(sy > 0, 2, 3))
+        col_bucket = jnp.where(sz == 0, 1,
+                               jnp.where(sz > 0, 2 + dcode, 6 + dcode))
+        new_col = ncx * ny + ncy
+        # sz<0 elements live at slot z+1 so every derived endpoint is a
+        # non-negative slot; B- combination shifts account for it.
+        # An sz==0 lane stepping into its FINAL column dies unmarked next
+        # iteration and its B0 element is self-contained (no exit-element
+        # cancel exists for it) — suppress the element instead.
+        el_slot = jnp.where(sz < 0, z_end + 1, z_end)
+        el_on = alive_next & ~((sz == 0) & (ncx == fx) & (ncy == fy))
+        gflat = scatter(gflat, el_index(col_bucket, new_col, el_slot),
+                        jnp.ones_like(col_bucket), el_on)
+
+        # Exit element of dying lanes closes (or exactly cancels) the last
+        # run: sz > 0: -1 at z_end + 1; sz < 0: +1 at z_end. sz == 0 runs
+        # are self-contained (B0) and need no exit.
+        exit_col = jnp.where(dying, cx * ny + cy, exit_col)
+        exit_z = jnp.where(dying, z_end, exit_z)
+        exit_on = exit_on | (dying & (sz != 0))
+
+        one = jnp.int32(1)
+        new_cx = jnp.where(alive_next & pick_x, ncx, cx)
+        new_cy = jnp.where(alive_next & ~pick_x, ncy, cy)
+        new_kx = jnp.where(alive_next & pick_x, kx + one, kx)
+        new_ky = jnp.where(alive_next & ~pick_x, ky + one, ky)
+        new_z = jnp.where(alive_next, z_end, z)
+        new_kz = jnp.where(alive_next, kz + n_eff, kz)
+        return (i + 1, new_cx, new_cy, new_z, new_kx, new_ky, new_kz,
+                alive_next, exit_col, exit_z, exit_on, gflat)
+
+    zero_k = jnp.zeros_like(cx, dtype=jnp.int32)
+    state = (jnp.int32(0), cx, cy, z0, zero_k, zero_k, zero_k, alive0,
+             jnp.zeros_like(col0), jnp.zeros_like(z0),
+             jnp.zeros_like(alive0), grid_flat)
+    state = lax.while_loop(cond, body, state)
+    (_, fcx, fcy, fcz, _, _, _, alive_f, exit_col, exit_z, exit_on,
+     grid_flat) = state
+
+    # Lanes cut off by an m_max budget smaller than the column bound would
+    # leave their last run unclosed — close it at the current position.
+    exit_col = jnp.where(alive_f, fcx * ny + fcy, exit_col)
+    exit_z = jnp.where(alive_f, fcz, exit_z)
+    exit_on = exit_on | (alive_f & (sz != 0))
+
+    exit_slot = jnp.where(sz < 0, exit_z, exit_z + 1)
+    exit_val = jnp.where(sz < 0, 1, -1)
+    grid_flat = scatter(grid_flat, el_index(jnp.zeros_like(exit_col),
+                                            exit_col, exit_slot),
+                        exit_val, exit_on)
+    return grid_flat.reshape(bucket_grid.shape)
+
+
+def _combine_diff_buckets(spec: GridSpec, bucket_grid: Array) -> Array:
+    """Fold the 10 diff buckets into per-voxel seen-free counts (see
+    :func:`_column_carve_chunk_diff`): nine dense shifted adds + one z
+    cumsum — exact integer arithmetic, no scatter."""
+    nx, ny, nz = spec.counts
+    g = bucket_grid.reshape(10, nx, ny, nz + 2)
+    d = g[0]
+    b0 = g[1]
+    diff = d + b0
+    # B0: -1 one z above each element.
+    diff = diff.at[:, :, 1:].add(-b0[:, :, :-1])
+
+    def shift_xy(arr, dx, dy):
+        """arr sampled at (x + dx, y + dy), zero outside."""
+        out = jnp.zeros_like(arr)
+        sx = slice(max(dx, 0), nx + min(dx, 0))
+        tx_ = slice(max(-dx, 0), nx + min(-dx, 0))
+        sy = slice(max(dy, 0), ny + min(dy, 0))
+        ty_ = slice(max(-dy, 0), ny + min(-dy, 0))
+        return out.at[tx_, ty_].set(arr[sx, sy])
+
+    deltas = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    for k, (dx, dy) in enumerate(deltas):
+        bp = g[2 + k]   # sz > 0, step delta (dx, dy)
+        # +1 at the element; -1 at (col - delta, z + 1).
+        diff = diff + bp
+        diff = diff.at[:, :, 1:].add(-shift_xy(bp, dx, dy)[:, :, :-1])
+        bm = g[6 + k]   # sz < 0 (elements stored at slot z + 1)
+        # +1 at (col - delta, z) = slot z + 1 shifted down one z;
+        # -1 at (col, z + 1) = the element's own slot.
+        diff = diff.at[:, :, :-1].add(shift_xy(bm, dx, dy)[:, :, 1:])
+        diff = diff - bm
+    counts = jnp.cumsum(diff, axis=2)[:, :, :nz]
+    return counts
+
+
 _AXIS_PERMS = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
 
 
@@ -534,13 +765,21 @@ def raycast_pointcloud_columns(spec: GridSpec, grid_origin_transform: Array,
                                cloud: PointCloud,
                                max_steps: Optional[int] = None,
                                ray_chunk: int = 65536,
-                               run_axis: int = 2) -> TrackingGrid:
+                               run_axis: int = 2,
+                               accumulate: str = "rows") -> TrackingGrid:
     """Column-marching twin of :func:`raycast_pointcloud` (same tracking-grid
     output; see :func:`_column_carve_chunk` for the scatter-volume argument
     and the float-tie caveat). ``run_axis`` selects which grid axis becomes
     the contiguous run direction — pick the camera bundle's dominant axis;
     rays orthogonal to it degrade to one element per voxel (the walk path's
-    column count equals its voxel count there)."""
+    column count equals its voxel count there). ``accumulate``: ``"rows"``
+    (default; one masked ``[nz]`` row per column,
+    :func:`_column_carve_chunk`) or ``"diff"`` (one scalar element per
+    column + bucket-shift combine, :func:`_column_carve_chunk_diff`) —
+    identical results. Rows wins on v5e: its accumulator (8.4 MB at 128^3)
+    sits below the scatter engine's ~2M-bin cliff (7.3 -> 11.3 ns/element
+    past ~4M bins, measured), while the diff scheme's 10-bucket table lands
+    above it and gives back its element-count advantage."""
     perm = _AXIS_PERMS[int(run_axis)]
     # Reference priority x >= y >= z mapped into the permuted frame:
     # which axis wins each pairwise tie is decided by ORIGINAL axis id.
@@ -565,18 +804,21 @@ def raycast_pointcloud_columns(spec: GridSpec, grid_origin_transform: Array,
         inv = tuple(np.argsort(perm))
         grid = _raycast_columns_impl(pspec, porigin, cloud, max_steps,
                                      ray_chunk, tie_flags,
-                                     slab_axis_order=inv)
+                                     slab_axis_order=inv,
+                                     accumulate=accumulate)
         return TrackingGrid(
             seen_free=jnp.transpose(grid.seen_free, inv),
             seen_filled=jnp.transpose(grid.seen_filled, inv))
     return _raycast_columns_impl(spec, grid_origin_transform, cloud,
-                                 max_steps, ray_chunk, tie_flags)
+                                 max_steps, ray_chunk, tie_flags,
+                                 accumulate=accumulate)
 
 
 def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
                           cloud: PointCloud, max_steps: Optional[int],
                           ray_chunk: int, tie_flags: dict,
-                          slab_axis_order=(0, 1, 2)) -> TrackingGrid:
+                          slab_axis_order=(0, 1, 2),
+                          accumulate: str = "rows") -> TrackingGrid:
     nx, ny, nz = spec.counts
     X_GW = transforms.invert_isometry(grid_origin_transform)
     X_GC = X_GW @ cloud.origin_transform
@@ -612,33 +854,47 @@ def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
                      constant_values=jnp.inf)
     points = points.reshape(-1, chunk, 3)
 
+    use_diff = accumulate == "diff"
+    if accumulate not in ("rows", "diff"):
+        raise ValueError(f"Unknown accumulate mode {accumulate!r}")
+
     def chunk_body(carry, chunk_points):
-        free_rows, filled_counts = carry
+        free_acc, free_pt_counts, filled_counts = carry
         (p_start, start_idx, p_final, final_idx, ray, hit,
          clipped) = _prepare_rays(spec, X_GC, chunk_points, cloud.max_range,
                                   slab_axis_order=slab_axis_order)
-        free_rows = _column_carve_chunk(spec, p_start, start_idx, final_idx,
-                                        ray, hit, free_rows, m_max,
-                                        **tie_flags)
+        if use_diff:
+            free_acc = _column_carve_chunk_diff(
+                spec, p_start, start_idx, final_idx, ray, hit, free_acc,
+                m_max, **tie_flags)
+        else:
+            free_acc = _column_carve_chunk(
+                spec, p_start, start_idx, final_idx, ray, hit, free_acc,
+                m_max, **tie_flags)
         final_in = spec.check_grid_index_in_bounds(final_idx)
         endpoint_flat = jnp.where(
             hit & final_in, spec.flat_index(final_idx).astype(jnp.int32), -1)
         free_flat = jnp.where(clipped, endpoint_flat, -1)
         filled_flat = jnp.where(clipped, -1, endpoint_flat)
-        # Endpoint free marks land in the row grid too (flat = row*nz + z).
-        free_rows = free_rows.reshape(-1)
-        free_rows = _scatter_counts(free_rows, free_flat).reshape(
-            nx * ny, nz)
-        return (free_rows, _scatter_counts(filled_counts, filled_flat)), None
+        free_pt_counts = _scatter_counts(free_pt_counts, free_flat)
+        return (free_acc, free_pt_counts,
+                _scatter_counts(filled_counts, filled_flat)), None
 
     vary = jnp.any(jnp.zeros((), dtype=bool) & jnp.isfinite(points[0, 0, 0]))
-    zero_rows = (jnp.where(vary, 1, 0).astype(jnp.int32)
-                 + jnp.zeros((nx * ny, nz), jnp.int32))
-    zero_counts = (jnp.where(vary, 1, 0).astype(jnp.int32)
-                   + jnp.zeros(spec.num_total, jnp.int32))
-    (free_rows, filled_counts), _ = lax.scan(
-        chunk_body, (zero_rows, zero_counts), points)
-    return TrackingGrid(seen_free=free_rows.reshape(spec.counts),
+    vary_i = jnp.where(vary, 1, 0).astype(jnp.int32)
+    if use_diff:
+        zero_acc = vary_i + jnp.zeros((10, nx * ny, nz + 2), jnp.int32)
+    else:
+        zero_acc = vary_i + jnp.zeros((nx * ny, nz), jnp.int32)
+    zero_counts = vary_i + jnp.zeros(spec.num_total, jnp.int32)
+    (free_acc, free_pt_counts, filled_counts), _ = lax.scan(
+        chunk_body, (zero_acc, zero_counts, zero_counts), points)
+    if use_diff:
+        free_counts = _combine_diff_buckets(spec, free_acc).reshape(-1)
+    else:
+        free_counts = free_acc.reshape(-1)
+    free_counts = free_counts + free_pt_counts
+    return TrackingGrid(seen_free=free_counts.reshape(spec.counts),
                         seen_filled=filled_counts.reshape(spec.counts))
 
 
