@@ -10,12 +10,13 @@ roofline is the *measured physical limit of the op that bounds the
 computation*. Sphere tracing is bound by gathers: on v5e the gather engine
 issues ~9.3 ns per gathered row at multi-million-row batches (re-measured by
 benchmarks/roofline.py; an earlier 26 ns figure was a small-batch artifact),
-independent of row width 4-512 B and table size 0.5-4 GiB. With the
-CornerTable path (1 gather per trilinear sample — see ops/sdf_query.py) and
->=6 samples/ray for hit certification, the practical ceiling for this scene
-is ~6M rays/s (BASELINE.md). We keep the original ambitious fixed target of
-35M rays/s (= 70% of the 32-byte-transaction HBM roofline for one-sample
-rays) so ``vs_baseline`` stays comparable across rounds.
+independent of row width 4-512 B and table size 0.5-4 GiB. The round-1
+"~6M rays/s practical ceiling" (>=6 full-width samples/ray) was beaten in
+round 2 by moving most samples to 1/64-width cone-prepass rays and pruning
+the rest with a convergence-sorted tail (~3 effective full-width
+samples/ray -> 7.7M measured, BASELINE.md). We keep the original ambitious
+fixed target of 35M rays/s (= 70% of the 32-byte-transaction HBM roofline
+for one-sample rays) so ``vs_baseline`` stays comparable across rounds.
 
 Timing note: ``block_until_ready`` is unreliable through the axon TPU tunnel
 (returns early), so every timed section forces a scalar read from the result
@@ -92,9 +93,13 @@ def main():
     pose[:3, 3] = sizes / 2.0 - np.array([0.0, 0.0, 1.2 * sizes[2]])
     camera = render.PinholeCamera.create(pose, IMG_W, IMG_H, focal=520.0)
 
+    # Winning round-2 schedule (BASELINE.md sweep): cone-certified starting
+    # depths (one cone per 8x8 pixel block), 2 full-width steps, then the
+    # convergence-sorted chunked tail.
     render_fn = jax.jit(lambda d, t: render.render_depth(
         sdf.replace(distances=d), camera, num_steps=NUM_STEPS,
-        corner_table=t, early_exit=True).depth)
+        corner_table=t, early_exit=True, coarse_factor=8,
+        head_steps=2, tail_chunks=64).depth)
     depth = render_fn(sdf.distances, table)
     _force(depth)  # compile + warmup
 

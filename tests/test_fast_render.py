@@ -147,3 +147,36 @@ def test_chunked_tail_scatter_roundtrip(sphere_sdf, corner_table):
         corner_table=corner_table, early_exit=True, mip=mip, tail_chunks=1)
     np.testing.assert_allclose(np.asarray(chunked.depth),
                                np.asarray(whole.depth), atol=1e-5)
+
+
+@pytest.mark.parametrize("factor", [2, 4, 8])
+def test_cone_prepass_exact_equivalence(sphere_sdf, corner_table, factor):
+    """The cone-traced prepass certifies per-block safe starting depths —
+    depth/hit must match the plain march exactly (not just approximately:
+    sampling semantics are unchanged, rays only skip provably-empty
+    interior)."""
+    cam = _camera(sphere_sdf, w=48, h=32)
+    base = render.render_depth(sphere_sdf, cam, num_steps=64,
+                               corner_table=corner_table, early_exit=True)
+    cone = render.render_depth(sphere_sdf, cam, num_steps=64,
+                               corner_table=corner_table, early_exit=True,
+                               coarse_factor=factor)
+    np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(cone.hit))
+    np.testing.assert_allclose(np.asarray(cone.depth),
+                               np.asarray(base.depth), atol=1e-6)
+
+
+def test_cone_prepass_scan_path(sphere_sdf, corner_table):
+    """Cone prepass composes with the differentiable scan march too."""
+    cam = _camera(sphere_sdf, w=48, h=32)
+    base = render.render_depth(sphere_sdf, cam, num_steps=64,
+                               corner_table=corner_table)
+    cone = render.render_depth(sphere_sdf, cam, num_steps=64,
+                               corner_table=corner_table, coarse_factor=4)
+    np.testing.assert_allclose(np.asarray(cone.depth),
+                               np.asarray(base.depth), atol=1e-6)
+    # Non-divisible factor silently disables the prepass.
+    odd = render.render_depth(sphere_sdf, cam, num_steps=64,
+                              corner_table=corner_table, coarse_factor=7)
+    np.testing.assert_allclose(np.asarray(odd.depth),
+                               np.asarray(base.depth), atol=1e-6)

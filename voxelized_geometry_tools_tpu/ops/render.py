@@ -164,7 +164,8 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  mip: Optional[SdfMip] = None,
                  coarse_steps: int = 64,
                  head_steps: int = 8,
-                 tail_chunks: int = 8) -> RenderResult:
+                 tail_chunks: int = 8,
+                 t_init: Optional[Array] = None) -> RenderResult:
     """Sphere-trace rays through an SDF grid.
 
     ``origins``/``dirs`` are ``[..., 3]`` world frame. The march advances each
@@ -212,6 +213,11 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     t_enter, t_exit, hits_grid = _clip_to_grid(sdf, origins, dirs)
     t0 = jnp.where(hits_grid, t_enter + eps, jnp.float32(max_depth))
     t_stop = jnp.minimum(t_exit, jnp.float32(max_depth))
+    if t_init is not None:
+        # Caller-provided certified-safe starting depths (e.g. the cone
+        # prepass of render_depth): never BEFORE the grid entry.
+        t0 = jnp.maximum(t0, jnp.minimum(jnp.asarray(t_init, jnp.float32),
+                                         t_stop))
 
     if mip is not None:
         # Empty-space skip: advance each ray by the conservative coarse
@@ -255,34 +261,49 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
         advance = jnp.maximum(d * step_scale, eps)
         new_t = jnp.where(alive & ~converged, t + advance, t)
         new_alive = alive & ~converged & (new_t < stop)
-        return new_t, new_alive
+        return new_t, new_alive, d
 
     def advance_once(t, alive):
-        return advance_ray(t, alive, origins, dirs, t_stop)
+        new_t, new_alive, _ = advance_ray(t, alive, origins, dirs, t_stop)
+        return new_t, new_alive
 
     def march_while(t_init, alive_init, o, d_ray, stop, budget):
+        big = jnp.float32(1e30)
+
         def cond(carry):
-            i, _, alive = carry
+            i = carry[0]
+            alive = carry[2]
             return (i < budget) & jnp.any(alive)
 
         def body(carry):
-            i, t, alive = carry
-            new_t, new_alive = advance_ray(t, alive, o, d_ray, stop)
-            return i + 1, new_t, new_alive
+            i, t, alive, d_prev, d_cur = carry
+            new_t, new_alive, d = advance_ray(t, alive, o, d_ray, stop)
+            d_prev = jnp.where(alive, d_cur, d_prev)
+            d_cur = jnp.where(alive, d, d_cur)
+            return i + 1, new_t, new_alive, d_prev, d_cur
 
-        _, t_out, alive_out = lax.while_loop(
-            cond, body, (jnp.int32(0), t_init, alive_init))
-        return t_out, alive_out
+        # Derive the initial carry from the input so its varying manual
+        # axes match the body outputs under shard_map.
+        d0 = t_init * 0.0 + big
+        _, t_out, alive_out, d_prev, d_cur = lax.while_loop(
+            cond, body, (jnp.int32(0), t_init, alive_init, d0, d0))
+        return t_out, alive_out, d_prev, d_cur
 
     alive0 = hits_grid if mip is None else (hits_grid & (t0 < t_stop))
     if early_exit:
         head = min(int(head_steps), num_steps) if tail_chunks > 1 \
             else num_steps
-        t_final, alive = march_while(t0, alive0, origins, dirs, t_stop, head)
+        t_final, alive, d_prev, d_cur = march_while(
+            t0, alive0, origins, dirs, t_stop, head)
         remaining = num_steps - head
         if remaining > 0 and tail_chunks > 1:
-            # Compact the (few) still-alive rays to the front so converged
-            # chunks exit after a single check.
+            # Compact still-alive rays ordered by ESTIMATED remaining steps
+            # (current distance over its last per-step decrease — a
+            # geometric-decay extrapolation). A chunk's tail cost is its
+            # SLOWEST ray, so grouping rays by expected convergence keeps
+            # grazing/silhouette rays in one chunk instead of making every
+            # live chunk pay the worst-case budget (the dominant tail term:
+            # cost ~= live_chunks x worst_steps x chunk width).
             batch_shape = t_final.shape
             n = int(np.prod(batch_shape)) if batch_shape else 1
             k = int(tail_chunks)
@@ -295,7 +316,10 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                 return jnp.pad(x, cfg, constant_values=fill)
 
             alive_f = flat_pad(alive, False)
-            order = jnp.argsort(jnp.logical_not(alive_f), stable=True)
+            decay = flat_pad(d_prev - d_cur, 0.0)
+            steps_est = flat_pad(d_cur, 0.0) / jnp.maximum(decay, eps)
+            key = jnp.where(alive_f, steps_est, jnp.float32(3e30))
+            order = jnp.argsort(key, stable=True)
             t_s = flat_pad(t_final, 0.0)[order]
             alive_s = alive_f[order]
             o_s = flat_pad(jnp.broadcast_to(origins, batch_shape + (3,)),
@@ -307,8 +331,8 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
 
             def march_chunk(args):
                 t_c, alive_c, o_c, d_c, stop_c = args
-                t_out, _ = march_while(t_c, alive_c, o_c, d_c, stop_c,
-                                       remaining)
+                t_out, _, _, _ = march_while(t_c, alive_c, o_c, d_c, stop_c,
+                                             remaining)
                 return t_out
 
             # lax.map compiles the chunk body once and runs chunks
@@ -342,23 +366,125 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                         distance=final_d)
 
 
+def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
+                  factor: int, num_steps: int,
+                  surface_threshold: float, max_depth: float,
+                  corner_table: Optional[sdf_query.CornerTable]) -> Array:
+    """Cone-traced coarse pass: one ray per ``factor x factor`` pixel block,
+    advanced only while the SDF sample exceeds the cone radius — so the
+    returned per-block depth ``T`` certifies that NO fine ray in the block
+    can meet the surface before ``T``:
+
+    every fine ray shares the pinhole apex and deviates from the block
+    center ray by at most the block's angular radius ``theta`` (computed
+    per block from its corner directions — exact, no small-angle
+    assumption), so a fine-ray point at radial distance ``t`` lies within
+    ``t * tan(theta)`` of the axis point at ``t``; while
+    ``d(axis(t)) > t*tan(theta) + margin`` the step
+    ``(d - t*tan) / (1 + tan)`` keeps that invariant (Amanatides-style
+    cone sphere tracing over an exact metric SDF).
+
+    Cost is ``rays / factor^2`` marches; the fine march then starts at
+    ``T`` and typically converges in a few steps instead of re-walking the
+    whole empty interior. Returns an ``[H, W]`` t_init image.
+    """
+    f = int(factor)
+    wc, hc = camera.width // f, camera.height // f
+
+    def block_dirs(du, dv):
+        # World direction of the fine pixel at offset (du, dv) within each
+        # block (same math as camera_rays, evaluated on the coarse lattice).
+        u = (jnp.arange(wc, dtype=jnp.float32) * f) + du
+        v = (jnp.arange(hc, dtype=jnp.float32) * f) + dv
+        uu, vv = jnp.meshgrid(u, v, indexing="xy")
+        d = jnp.stack([(uu - camera.cx) / camera.fx,
+                       (vv - camera.cy) / camera.fy,
+                       jnp.ones_like(uu)], axis=-1)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return transforms.rotate_vector(camera.pose, d)
+
+    half = (f - 1) / 2.0
+    center = block_dirs(half, half)
+    origins = jnp.broadcast_to(camera.pose[:3, 3], center.shape)
+
+    # Exact per-block angular radius from the 4 corner pixels (pixel
+    # centers at the extreme offsets; the extreme DIRECTIONS of the block
+    # are attained at corners for a pinhole).
+    sin_t = jnp.zeros(center.shape[:-1], jnp.float32)
+    for du in (-0.5, f - 0.5):
+        for dv in (-0.5, f - 0.5):
+            c = block_dirs(du, dv)
+            cross = jnp.cross(c, center)
+            sin_t = jnp.maximum(sin_t, jnp.linalg.norm(cross, axis=-1))
+    tan_t = sin_t / jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 1e-6))
+
+    if corner_table is not None:
+        def sample(pos):
+            return sdf_query.estimate_location_distance_fast(
+                sdf, corner_table, pos)
+    else:
+        def sample(pos):
+            return sdf_query.estimate_location_distance(sdf, pos)
+
+    # Entry/exit from the most conservative of center + corner rays, with
+    # a block-diagonal slack so every fine ray's entry is covered.
+    t_enter_c, t_exit_c, hits_c = _clip_to_grid(sdf, origins, center)
+    slack = jnp.float32(2.0 * f * sdf.resolution)
+    t_start = jnp.maximum(t_enter_c - slack, 0.0)
+    margin = jnp.float32(2.0 * surface_threshold + 0.5 * sdf.resolution)
+    eps = jnp.float32(1e-3 * sdf.resolution)
+
+    def cond(state):
+        i, _, alive = state
+        return (i < num_steps) & jnp.any(alive)
+
+    def body(state):
+        i, t, alive = state
+        q = sample(origins + center * t[..., None])
+        r = tan_t * t + margin
+        safe = q.valid & (q.value > r)
+        step = jnp.maximum((q.value - r) / (1.0 + tan_t), eps)
+        t_new = jnp.where(alive & safe, t + step, t)
+        alive_new = alive & safe & (t_new < t_exit_c)
+        return i + 1, t_new, alive_new
+
+    _, t_cone, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), t_start, hits_c & (t_start < t_exit_c)))
+    t_cone = jnp.where(hits_c, t_cone, 0.0)
+    # Upsample block depths to the full image.
+    t_img = jnp.repeat(jnp.repeat(t_cone, f, axis=0), f, axis=1)
+    return t_img
+
+
 def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                  num_steps: int = 64, max_depth: float = 100.0,
                  surface_threshold: Optional[float] = None,
                  corner_table: Optional[sdf_query.CornerTable] = None,
                  early_exit: bool = False,
                  mip: Optional[SdfMip] = None,
+                 coarse_factor: int = 0,
                  **trace_kwargs) -> RenderResult:
     """Render an ``[H, W]`` depth image (differentiable in ``sdf.distances``
     and ``camera.pose``). See :func:`sphere_trace` for the performance
     knobs ``corner_table`` / ``early_exit`` / ``mip`` (plus ``coarse_steps``
-    / ``head_steps`` / ``tail_chunks`` forwarded via kwargs)."""
+    / ``head_steps`` / ``tail_chunks`` forwarded via kwargs).
+    ``coarse_factor > 0`` runs the cone-traced prepass
+    (:func:`_cone_prepass`, one cone per ``factor^2`` pixel block) and
+    starts every fine ray at its block's certified-safe depth — sampling
+    semantics are unchanged, rays just skip the provably empty interior."""
     origins, dirs = camera_rays(camera)
+    t_init = None
+    if coarse_factor and camera.width % coarse_factor == 0 \
+            and camera.height % coarse_factor == 0:
+        thresh = (0.25 * sdf.resolution if surface_threshold is None
+                  else float(surface_threshold))
+        t_init = _cone_prepass(sdf, camera, coarse_factor, num_steps,
+                               thresh, max_depth, corner_table)
     return sphere_trace(sdf, origins, dirs, num_steps=num_steps,
                         max_depth=max_depth,
                         surface_threshold=surface_threshold,
                         corner_table=corner_table, early_exit=early_exit,
-                        mip=mip, **trace_kwargs)
+                        mip=mip, t_init=t_init, **trace_kwargs)
 
 
 def render_occupancy_image(sdf: SignedDistanceField, camera: PinholeCamera,
