@@ -58,3 +58,19 @@ def test_bestfirst_degenerate_fields():
         got = np.asarray(edt_pallas.parabolic_envelope_last_pallas_bestfirst(
             jnp.asarray(f), tile_lines=8, tile_q=8, interpret=True))
         np.testing.assert_array_equal(ref, got)
+
+
+def test_bestfirst_small_tile_lines_exact():
+    """The VMEM-aware tile shrink (long axes get smaller line tiles) must
+    stay exact — cover non-default tile_lines in interpret mode."""
+    from voxelized_geometry_tools_tpu.kernels import edt_pallas
+    from voxelized_geometry_tools_tpu.ops import edt as edt_ops
+    rng = np.random.default_rng(5)
+    f = np.where(rng.random((8, 96, 300)) < 0.02, 0.0, np.inf)
+    f[0, 0, 17] = 0.0
+    ref = np.asarray(edt_ops._parabolic_envelope_last(jnp.asarray(f, jnp.float32)))
+    for tl in (256, 512):
+        got = np.asarray(edt_pallas.parabolic_envelope_last_pallas_bestfirst(
+            jnp.asarray(f, jnp.float32), tile_lines=tl, tile_q=64,
+            interpret=True))
+        np.testing.assert_array_equal(ref, got)

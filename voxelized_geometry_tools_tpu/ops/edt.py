@@ -132,6 +132,14 @@ def _envelope_last(f: Array, block: int, backend: str) -> Array:
         for c in f.shape[:-1]:
             lines *= int(c)
         tl = 2048 if lines >= 2048 else 1024
+        # The kernels pin the whole [padded_n, tile_lines] line block in
+        # VMEM; shrink the line tile as the axis grows so the block stays
+        # within the ~4 MB that compiles on v5e (a fixed tl=2048 fails to
+        # compile past n=512 — BASELINE.md scale study).
+        n = int(f.shape[-1])
+        budget_rows = (1 << 20) // max(n + 64, 1)  # 4 MB of f32
+        while tl > 256 and tl > budget_rows:
+            tl //= 2
         if backend == "pallas-bestfirst":
             return edt_pallas.parabolic_envelope_last_pallas_bestfirst(
                 f, tile_lines=tl, tile_q=64)
