@@ -119,3 +119,26 @@ def test_grid_sharded_render_matches_single_device(mesh8):
         sdf, camera, mesh8, num_steps=32)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
                                atol=1e-4)
+
+
+def test_sharded_render_cone_and_sorted_tail_matches(mesh8):
+    """The cone prepass + convergence-sorted tail knobs through the sharded
+    pixel renderer must equal the single-device render."""
+    from voxelized_geometry_tools_tpu.ops import sdf_query
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    table = sdf_query.build_corner_table(sdf)
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    # height 32 = 8 shards x 2 blocks of coarse_factor 2.
+    camera = render.PinholeCamera.create(pose, width=24, height=32,
+                                         focal=20.0)
+
+    single = render.render_depth(sdf, camera, num_steps=32,
+                                 corner_table=table).depth
+    multi = sharded.sharded_render_depth(
+        sdf, camera, mesh8, num_steps=32, corner_table=table,
+        early_exit=True, head_steps=2, tail_chunks=4, coarse_factor=2)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-5)

@@ -182,15 +182,19 @@ def sharded_render_depth(sdf: SignedDistanceField,
                          axis_name: str = "z", num_steps: int = 64,
                          max_depth: float = 100.0,
                          corner_table=None,
-                         early_exit: bool = False) -> Array:
+                         early_exit: bool = False,
+                         head_steps: int = 8,
+                         tail_chunks: int = 8,
+                         coarse_factor: int = 0) -> Array:
     """Render with pixel rows sharded across devices (grid replicated).
     Returns the ``[H, W]`` depth image.
 
-    ``corner_table`` / ``early_exit`` are the single-chip fast-path knobs
-    (ops/render.py); the table is replicated alongside the grid — gathers
-    want device-local data, and each shard's early-exit wave length adapts
-    to ITS pixels only (silhouette-heavy shards no longer stall the rest,
-    the multi-chip analogue of the chunked-tail march)."""
+    ``corner_table`` / ``early_exit`` / ``head_steps`` / ``tail_chunks`` /
+    ``coarse_factor`` are the single-chip fast-path knobs (ops/render.py);
+    the table is replicated alongside the grid — gathers want device-local
+    data — and each shard's early-exit wave, convergence-sorted tail, and
+    cone-certified starting depths adapt to ITS pixels only
+    (silhouette-heavy shards no longer stall the rest)."""
     n_shards = mesh.shape[axis_name]
     if camera.height % n_shards:
         raise ValueError(
@@ -198,9 +202,20 @@ def sharded_render_depth(sdf: SignedDistanceField,
             f"{camera.height}")
     origins, dirs = render_ops.camera_rays(camera)
 
+    t_init = None
+    if coarse_factor and camera.width % coarse_factor == 0 \
+            and camera.height % (coarse_factor * n_shards) == 0:
+        # The cone prepass is tiny (rays / factor^2) — run it replicated
+        # and shard the resulting per-pixel start depths with the rays.
+        thresh = 0.25 * sdf.resolution
+        t_init = render_ops._cone_prepass(
+            sdf, camera, coarse_factor, num_steps, thresh, max_depth,
+            corner_table)
+
     table_rows = corner_table.rows if corner_table is not None else None
 
-    def local_render(local_origins, local_dirs, distances, rows):
+    def local_render(local_origins, local_dirs, distances, rows=None,
+                     local_t_init=None):
         local_sdf = sdf.replace(distances=distances)
         table = None
         if rows is not None:
@@ -208,19 +223,30 @@ def sharded_render_depth(sdf: SignedDistanceField,
             table = CornerTable(rows=rows)
         result = render_ops.sphere_trace(
             local_sdf, local_origins, local_dirs, num_steps=num_steps,
-            max_depth=max_depth, corner_table=table, early_exit=early_exit)
+            max_depth=max_depth, corner_table=table, early_exit=early_exit,
+            head_steps=head_steps, tail_chunks=tail_chunks,
+            t_init=local_t_init)
         return result.depth
 
-    if table_rows is None:
-        fn = shard_map(
-            functools.partial(local_render, rows=None), mesh=mesh,
-            in_specs=(P(axis_name), P(axis_name), P()),
-            out_specs=P(axis_name))
-        return fn(origins, dirs, sdf.distances)
-    fn = shard_map(local_render, mesh=mesh,
-                   in_specs=(P(axis_name), P(axis_name), P(), P()),
-                   out_specs=P(axis_name))
-    return fn(origins, dirs, sdf.distances, table_rows)
+    args = [origins, dirs, sdf.distances]
+    specs = [P(axis_name), P(axis_name), P()]
+    has_rows = table_rows is not None
+    has_tinit = t_init is not None
+    if has_rows:
+        args.append(table_rows)
+        specs.append(P())
+    if has_tinit:
+        args.append(t_init)
+        specs.append(P(axis_name))
+
+    def fn(o, d, dist, *extra):
+        rows = extra[0] if has_rows else None
+        t_i = extra[-1] if has_tinit else None
+        return local_render(o, d, dist, rows=rows, local_t_init=t_i)
+
+    mapped = shard_map(fn, mesh=mesh, in_specs=tuple(specs),
+                       out_specs=P(axis_name))
+    return mapped(*args)
 
 
 def sharded_render_depth_grid_sharded(
