@@ -75,13 +75,14 @@ def config2_pointcloud_voxelization():
     cloud = voxelize.PointCloud.create(pts.astype(np.float32), pose)
     options = voxelize.FilterOptions(1.0, 1, 1)
 
-    fn = jax.jit(lambda occ, p: voxelize.voxelize_pointclouds(
-        env.replace(occupancy=occ), options,
-        [dataclasses.replace(cloud, points=p)]).occupancy)
-    t, _ = timed(fn, env.occupancy, cloud.points)
+    # Column-marching carve via the accelerator backend (round 2 default).
+    from voxelized_geometry_tools_tpu.ops import backends
+    vox = backends.AcceleratorPointCloudVoxelizer()
+    t, _ = timed(lambda: vox.voxelize_pointclouds(env, options,
+                                                  [cloud]).occupancy)
     n_rays = pts.shape[0]
     print(f"config2 128^3 1-camera carve+filter: {t*1e3:.1f} ms "
-          f"({n_rays/t/1e6:.2f} M rays/s)")
+          f"({n_rays/t/1e6:.2f} M rays/s, column carve)")
 
 
 def config3_raycast_256():
@@ -108,7 +109,8 @@ def config3_raycast_256():
 
     fwd = jax.jit(lambda d, t: render.render_depth(
         sdf.replace(distances=d), cam, num_steps=64, corner_table=t,
-        early_exit=True).depth)
+        early_exit=True, coarse_factor=8, head_steps=2,
+        tail_chunks=64).depth)
     t_fwd, depth = timed(fwd, sdf.distances, table)
 
     def loss(d):

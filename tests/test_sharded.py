@@ -142,3 +142,21 @@ def test_sharded_render_cone_and_sorted_tail_matches(mesh8):
         early_exit=True, head_steps=2, tail_chunks=4, coarse_factor=2)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
                                atol=1e-5)
+
+
+def test_sharded_column_carve_matches(mesh8):
+    """Column-marching carve under shard_map equals the single-device walk
+    bit-for-bit (the determinism contract extends to the new carve)."""
+    rng = np.random.default_rng(31)
+    spec = GridSpec.from_voxel_counts(0.1, (16, 16, 16))
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0.8, 0.8, -0.5)
+    pts = rng.uniform(-0.6, 2.2, (1600, 3)).astype(np.float32)
+    cloud = voxelize.PointCloud.create(pts, pose)
+    single = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud)
+    multi = sharded.sharded_raycast_pointcloud(
+        spec, jnp.eye(4), cloud, mesh8, run_axis=2)
+    np.testing.assert_array_equal(np.asarray(single.seen_free),
+                                  np.asarray(multi.seen_free))
+    np.testing.assert_array_equal(np.asarray(single.seen_filled),
+                                  np.asarray(multi.seen_filled))

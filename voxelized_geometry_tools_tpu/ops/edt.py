@@ -195,8 +195,24 @@ def signed_distance_from_filled_mask(is_filled: Array, resolution: float,
     the reference's two instantiations) only needs to govern the final
     sqrt/scale combine."""
     is_filled = jnp.asarray(is_filled, dtype=bool)
-    d2_filled = squared_edt(is_filled, block, backend).astype(dtype)
-    d2_free = squared_edt(~is_filled, block, backend).astype(dtype)
+    # Both fields ride ONE envelope pass per axis: the passes treat grid
+    # lines independently, so stacking the filled- and free-seeded fields
+    # along axis 0 (after the per-field binary axis-0 pass) halves the
+    # number of envelope invocations and doubles the line count each kernel
+    # call amortizes over.
+    d_f = jnp.moveaxis(_binary_squared_dist_last(
+        jnp.moveaxis(is_filled, 0, -1)), -1, 0)
+    d_e = jnp.moveaxis(_binary_squared_dist_last(
+        jnp.moveaxis(~is_filled, 0, -1)), -1, 0)
+    d = jnp.concatenate([d_f, d_e], axis=0)
+    if is_filled.shape[1] > 1:
+        d = jnp.moveaxis(
+            _envelope_last(jnp.moveaxis(d, 1, -1), block, backend), -1, 1)
+    if is_filled.shape[2] > 1:
+        d = _envelope_last(d, block, backend)
+    nx = is_filled.shape[0]
+    d2_filled = d[:nx].astype(dtype)
+    d2_free = d[nx:].astype(dtype)
     res = jnp.asarray(resolution, dtype)
     return jnp.sqrt(d2_filled) * res - jnp.sqrt(d2_free) * res
 

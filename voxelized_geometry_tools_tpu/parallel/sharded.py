@@ -123,10 +123,15 @@ def sharded_raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
                                cloud: voxelize_ops.PointCloud, mesh: Mesh,
                                axis_name: str = "z",
                                max_steps: Optional[int] = None,
-                               ray_chunk: int = 16384
+                               ray_chunk: int = 16384,
+                               run_axis: Optional[int] = None
                                ) -> voxelize_ops.TrackingGrid:
     """Carve one cloud with rays sharded across the mesh; per-device counter
-    grids are fused with a single ``psum`` (replicated output)."""
+    grids are fused with a single ``psum`` (replicated output).
+
+    ``run_axis`` switches each shard to the column-marching carve
+    (ops/voxelize.raycast_pointcloud_columns — bit-exact with the walk,
+    ~3.5x on v5e); ``None`` keeps the voxel walk."""
     n_shards = mesh.shape[axis_name]
     n_rays = cloud.points.shape[0]
     pad = (-n_rays) % n_shards
@@ -137,9 +142,15 @@ def sharded_raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
         local_cloud = voxelize_ops.PointCloud(
             points=local_points, origin_transform=origin_transform,
             max_range=max_range)
-        grid = voxelize_ops.raycast_pointcloud(
-            spec, grid_origin_transform, local_cloud, max_steps=max_steps,
-            ray_chunk=ray_chunk)
+        if run_axis is None:
+            grid = voxelize_ops.raycast_pointcloud(
+                spec, grid_origin_transform, local_cloud,
+                max_steps=max_steps, ray_chunk=ray_chunk)
+        else:
+            grid = voxelize_ops.raycast_pointcloud_columns(
+                spec, grid_origin_transform, local_cloud,
+                max_steps=max_steps, ray_chunk=max(ray_chunk, 65536),
+                run_axis=int(run_axis))
         return (lax.psum(grid.seen_free, axis_name),
                 lax.psum(grid.seen_filled, axis_name))
 
