@@ -14,7 +14,7 @@ independent of row width 4-512 B and table size 0.5-4 GiB. The round-1
 "~6M rays/s practical ceiling" (>=6 full-width samples/ray) was beaten in
 round 2 by moving most samples to 1/64-width cone-prepass rays and pruning
 the rest with a convergence-sorted tail (~3 effective full-width
-samples/ray -> 7.7M measured, BASELINE.md). We keep the original ambitious
+samples/ray -> 7.9M measured, BASELINE.md). We keep the original ambitious
 fixed target of 35M rays/s (= 70% of the 32-byte-transaction HBM roofline
 for one-sample rays) so ``vs_baseline`` stays comparable across rounds.
 
@@ -94,11 +94,11 @@ def main():
     camera = render.PinholeCamera.create(pose, IMG_W, IMG_H, focal=520.0)
 
     # Winning round-2 schedule (BASELINE.md sweep): cone-certified starting
-    # depths (one cone per 8x8 pixel block), 2 full-width steps, then the
+    # depths (one cone per 4x4 pixel block), 2 full-width steps, then the
     # convergence-sorted chunked tail.
     render_fn = jax.jit(lambda d, t: render.render_depth(
         sdf.replace(distances=d), camera, num_steps=NUM_STEPS,
-        corner_table=t, early_exit=True, coarse_factor=8,
+        corner_table=t, early_exit=True, coarse_factor=4,
         head_steps=2, tail_chunks=64).depth)
     depth = render_fn(sdf.distances, table)
     _force(depth)  # compile + warmup
