@@ -119,8 +119,7 @@ class AcceleratorPointCloudVoxelizer:
                 else:
                     grids.append(raycast_pointcloud_columns(
                         spec, origin_transform, cloud, self._max_steps,
-                        ray_chunk=max(self._ray_chunk, 65536),
-                        run_axis=axis))
+                        ray_chunk=self._ray_chunk, run_axis=axis))
             seen_free = jnp.stack([g.seen_free for g in grids])
             seen_filled = jnp.stack([g.seen_filled for g in grids])
             return seen_free, seen_filled

@@ -764,7 +764,7 @@ _AXIS_PERMS = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
 def raycast_pointcloud_columns(spec: GridSpec, grid_origin_transform: Array,
                                cloud: PointCloud,
                                max_steps: Optional[int] = None,
-                               ray_chunk: int = 65536,
+                               ray_chunk: int = 16384,
                                run_axis: int = 2,
                                accumulate: str = "rows") -> TrackingGrid:
     """Column-marching twin of :func:`raycast_pointcloud` (same tracking-grid
@@ -837,6 +837,9 @@ def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
     # (the while_loop runs to the chunk MAX) matches its rays: without this
     # one grazing ray drags a whole chunk of short rays through dead-lane
     # scatter rows, which cost nearly as much as live ones (measured).
+    # Smaller chunks tighten the sorted m-quantiles further — 16k beats 64k
+    # by 13% on config2 (92.8 vs 105.8 ms); per-chunk overhead bites below
+    # ~8k.
     raw_points = cloud.points
     if n_rays > chunk:
         p_world = transforms.apply_isometry(X_GC, raw_points)

@@ -149,7 +149,7 @@ def sharded_raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
         else:
             grid = voxelize_ops.raycast_pointcloud_columns(
                 spec, grid_origin_transform, local_cloud,
-                max_steps=max_steps, ray_chunk=max(ray_chunk, 65536),
+                max_steps=max_steps, ray_chunk=ray_chunk,
                 run_axis=int(run_axis))
         return (lax.psum(grid.seen_free, axis_name),
                 lax.psum(grid.seen_filled, axis_name))
