@@ -42,7 +42,7 @@ class OnlineMapper:
                  max_steps: Optional[int] = None,
                  carve_run_axis: Optional[int] = None):
         """``carve_run_axis``: grid axis for the column-marching carve
-        (ops/voxelize.raycast_pointcloud_columns — bit-exact, ~3.5x); by
+        (ops/voxelize.raycast_pointcloud_columns — bit-exact, ~4x); by
         default it is picked from the FIRST integrated cloud's dominant ray
         direction (a mapper's camera orientation is stable across frames).
         Pass ``-1`` to force the plain voxel walk."""

@@ -131,7 +131,7 @@ def sharded_raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
 
     ``run_axis`` switches each shard to the column-marching carve
     (ops/voxelize.raycast_pointcloud_columns — bit-exact with the walk,
-    ~3.5x on v5e); ``None`` keeps the voxel walk."""
+    ~4x on v5e); ``None`` keeps the voxel walk."""
     n_shards = mesh.shape[axis_name]
     n_rays = cloud.points.shape[0]
     pad = (-n_rays) % n_shards
