@@ -1,0 +1,112 @@
+"""Beyond-512^3 single-chip story: slab-streamed EDT + renders at 768/1024^3.
+
+Round-2 VERDICT #4: 1024^3 dense two-field EDT is RESOURCE_EXHAUSTED on one
+v5e chip; the slab-streamed pipeline (ops/edt.squared_edt_streamed) bounds
+transients to one field + a slab. This script produces a 1024^3 two-field
+SDF end-to-end on one chip, renders a depth image from it (8-gather sample
+path — a 1024^3 corner table would be 32 GiB), and records rates for
+BASELINE.md.
+
+Run on the real chip: ``python benchmarks/large_grid.py [n ...]``.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from voxelized_geometry_tools_tpu import GridSpec
+from voxelized_geometry_tools_tpu.ops import edt, render
+
+
+def _force(x):
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def sphere_mask(n):
+    """Centered sphere of radius n/4, built on device (a 1 GiB bool H2D
+    through the tunnel would dominate the benchmark)."""
+    r2 = (n / 4.0) ** 2
+    ax = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) ** 2
+    return (ax[:, None, None] + ax[None, :, None]
+            + ax[None, None, :]) <= r2
+
+
+def run(n, streaming=True, slab=128, do_render=True):
+    res = 0.01
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    out = {"n": n, "streaming": streaming}
+
+    mask = sphere_mask(n)
+    _force(mask)
+
+    def build(m):
+        return edt._sdf_values_from_mask(m, res, streaming=streaming)
+
+    t0 = time.monotonic()
+    values = build(mask)
+    _force(values)
+    out["edt_first_s"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    values = build(mask)
+    _force(values)
+    dt = time.monotonic() - t0
+    out["edt_warm_s"] = dt
+    out["edt_voxels_per_s"] = 2 * n ** 3 / dt  # two fields
+    print(f"n={n} streamed={streaming}: EDT warm {dt:.2f}s "
+          f"({2 * n ** 3 / dt / 1e6:.0f} M voxels/s incl. both fields)")
+
+    # Sanity: center is deep inside (-r*res-ish), corner far outside.
+    center = float(values[n // 2, n // 2, n // 2])
+    corner = float(values[0, 0, 0])
+    assert center < 0 < corner, (center, corner)
+    out["sdf_center"] = center
+
+    if do_render:
+        from voxelized_geometry_tools_tpu.core.maps import SignedDistanceField
+        sdf = SignedDistanceField.create(spec, values, locked=True)
+        size = n * res
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = (size / 2, size / 2, -1.2 * size)
+        cam = render.PinholeCamera.create(pose, 640, 480, focal=600.0)
+
+        def render_fn(s):
+            return render.render_depth(
+                s, cam, num_steps=96, early_exit=True, coarse_factor=4,
+                head_steps=2, tail_chunks=64).depth
+
+        fn = jax.jit(render_fn)
+        t0 = time.monotonic()
+        depth = fn(sdf)
+        _force(depth)
+        out["render_first_s"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        depth = fn(sdf)
+        _force(depth)
+        dt = time.monotonic() - t0
+        rays = 640 * 480
+        out["render_warm_s"] = dt
+        out["render_rays_per_s"] = rays / dt
+        print(f"n={n}: render (8-gather path) {dt * 1e3:.1f} ms "
+              f"({rays / dt / 1e6:.2f} M rays/s)")
+    return out
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [768, 1024]
+    results = []
+    for n in sizes:
+        results.append(run(n))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,41 @@ def test_cone_prepass_exact_equivalence(sphere_sdf, corner_table, factor):
                                np.asarray(base.depth), atol=1e-6)
 
 
+@pytest.mark.parametrize("factor", [4, 8])
+def test_cone_prepass_distant_oblique_camera(sphere_sdf, corner_table,
+                                             factor):
+    """ADVICE round-2 medium #2: with a DISTANT grid (or a grazing entry
+    face) a fine ray can enter the grid earlier than the cone march's start
+    (center-ray entry minus a fixed slack), leaving an uncertified window
+    where surfaces could be skipped. The fix gates the certificate per fine
+    ray on ``t_enter >= cone start`` — cone-prepass renders must equal the
+    plain march for ANY camera."""
+    sizes = np.asarray(sphere_sdf.spec.grid_sizes)
+    # Far away and oblique: look at the grid corner from ~40 grid-widths
+    # out, so block cones subtend many voxels at the entry face.
+    eye = sizes / 2.0 + np.array([60.0, 45.0, 80.0])
+    target = np.array([0.1, 0.15, 0.05]) * sizes
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = (
+        right, down, fwd, eye)
+    cam = render.PinholeCamera.create(pose, 48, 32, focal=1500.0)
+    base = render.render_depth(sphere_sdf, cam, num_steps=96,
+                               corner_table=corner_table, early_exit=True)
+    cone = render.render_depth(sphere_sdf, cam, num_steps=96,
+                               corner_table=corner_table, early_exit=True,
+                               coarse_factor=factor)
+    np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(cone.hit))
+    m = np.asarray(base.hit)
+    np.testing.assert_allclose(np.asarray(cone.depth)[m],
+                               np.asarray(base.depth)[m], atol=1e-5)
+
+
 def test_cone_prepass_scan_path(sphere_sdf, corner_table):
     """Cone prepass composes with the differentiable scan march too."""
     cam = _camera(sphere_sdf, w=48, h=32)

@@ -115,10 +115,14 @@ def test_grid_sharded_render_matches_single_device(mesh8):
     camera = render.PinholeCamera.create(pose, width=24, height=16, focal=20.0)
 
     single = render.render_depth(sdf, camera, num_steps=32).depth
-    multi = sharded.sharded_render_depth_grid_sharded(
-        sdf, camera, mesh8, num_steps=32)
-    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
-                               atol=1e-4)
+    # steps_per_exchange batches local owner-advances steps between psums;
+    # the per-ray sample sequence and budget are schedule-independent, so
+    # every k must reproduce the single-device depths.
+    for k in (1, 4, 8):
+        multi = sharded.sharded_render_depth_grid_sharded(
+            sdf, camera, mesh8, num_steps=32, steps_per_exchange=k)
+        np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                                   atol=1e-4)
 
 
 def test_sharded_render_cone_and_sorted_tail_matches(mesh8):

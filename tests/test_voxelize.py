@@ -296,6 +296,30 @@ def test_columns_two_camera_oracle():
     check_voxelization(np.asarray(occupancy))
 
 
+@pytest.mark.parametrize("max_steps", [5, 100])
+def test_columns_bit_exact_with_max_steps(max_steps):
+    """A user max_steps is a per-ray VOXEL budget on both paths (the walk's
+    DDA step budget); the column path truncates runs at the exact voxel the
+    walk's budget would expire at, including the walk's round-up to whole
+    64-step segments (ADVICE round-2 medium #1)."""
+    rng = np.random.default_rng(17)
+    spec = GridSpec.from_voxel_counts(0.05, (20, 24, 28))
+    o = rng.uniform(0.2, 0.9, 3)
+    pts_world = rng.uniform(-0.3, 1.6, (800, 3))
+    cloud = voxelize.PointCloud.create(
+        (pts_world - o).astype(np.float32),
+        transforms.isometry_from_translation(o), max_range=3.0)
+    walk = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud,
+                                       max_steps=max_steps)
+    for axis in (0, 1, 2):
+        cols = voxelize.raycast_pointcloud_columns(
+            spec, jnp.eye(4), cloud, max_steps=max_steps, run_axis=axis)
+        _compare_grids(walk, cols)
+    with pytest.raises(ValueError):
+        voxelize.raycast_pointcloud_columns(
+            spec, jnp.eye(4), cloud, max_steps=max_steps, accumulate="diff")
+
+
 def test_columns_chunking_and_sorting_invariance():
     """Ray chunk size (and the in-chunk m-sort it triggers) must not change
     the counts."""

@@ -324,6 +324,11 @@ class SignedDistanceField(_MapBase):
         instantiations (signed_distance_field.hpp:1268-1269). Default
         float32; float64 requires ``jax_enable_x64`` (raises otherwise
         rather than silently downcasting)."""
+        # The reference SDF enforces a uniform voxel size on construction
+        # (signed_distance_field.hpp:612-615); queries and EDT scaling mix
+        # per-axis index math with the scalar resolution, so a non-uniform
+        # spec would silently return wrong distances.
+        spec.enforce_uniform_voxel_size()
         dtype = jnp.float32 if dtype is None else dtype
         values = jnp.asarray(distances).astype(dtype)
         if jnp.dtype(dtype) == jnp.float64 and values.dtype != jnp.float64:

@@ -79,11 +79,15 @@ def export_voxel_grid(spec, origin_transform, frame: str,
     rgba = np.asarray(color_fn(*chans), dtype=np.float32)
     keep = rgba[..., 3] > 0.0
     idx = np.argwhere(keep)
-    res = spec.resolution
-    positions = (idx.astype(np.float64) + 0.5) * res
+    # Marker scale and cell centers honor per-axis voxel sizes — the
+    # reference's generic exporter uses VoxelSizes()/
+    # GridIndexToLocationInGridFrame (ros_interface.hpp:120-127), and
+    # non-uniform grids are an L1 capability consumed only here.
+    sizes = np.asarray(spec.voxel_sizes, np.float64)
+    positions = (idx.astype(np.float64) + 0.5) * sizes
     return VoxelMarker(
         frame=frame, pose=np.asarray(origin_transform, np.float64),
-        scale=np.full(3, res), positions=positions,
+        scale=sizes.copy(), positions=positions,
         colors=rgba[keep], ns=ns)
 
 
@@ -244,19 +248,25 @@ def export_tagged_object_surfaces_for_display(
                              color, omap.object_id, ns="occupancy_surfaces")
 
 
-def export_connected_components_for_display(omap) -> VoxelMarker:
-    """``ExportConnectedComponentsForDisplay``: per-component unique colors
-    (ros_interface.cpp via LookupComponentColor)."""
+def export_connected_components_for_display(
+        omap, color_unknown_components: bool = True) -> VoxelMarker:
+    """``ExportConnectedComponentsForDisplay(map, color_unknown_components)``
+    (ros_interface.hpp:557-558, cpp:356-389): per-component unique colors;
+    with ``color_unknown_components=False`` the components of UNKNOWN cells
+    (occupancy == 0.5) are drawn opaque gray (0.5, 0.5, 0.5, 1.0) instead of
+    their palette color."""
 
-    def color(comp):
+    def color(comp, occ):
         palette = np.stack([lookup_component_color(c)
                             for c in range(len(_UNIQUE_COLORS))])
         rgba = palette[comp.astype(np.int64) % len(_UNIQUE_COLORS)]
         rgba[comp == 0, 3] = 0.0
+        if not color_unknown_components:
+            rgba[occ == 0.5] = (0.5, 0.5, 0.5, 1.0)
         return rgba
 
     return export_voxel_grid(omap.spec, omap.origin_transform, omap.frame,
-                             color, omap.component,
+                             color, omap.component, omap.occupancy,
                              ns="connected_components")
 
 
@@ -431,18 +441,20 @@ def export_voxel_grid_indices(spec, origin_transform, frame: str,
     idx = np.asarray(indices, np.int64).reshape(-1, 3)
     rgba = np.broadcast_to(np.asarray(color, np.float32), (idx.shape[0], 4))
     keep = rgba[:, 3] > 0.0
-    res = spec.resolution
+    sizes = np.asarray(spec.voxel_sizes, np.float64)
     return VoxelMarker(
         frame=frame, pose=np.asarray(origin_transform, np.float64),
-        scale=np.full(3, res),
-        positions=(idx[keep].astype(np.float64) + 0.5) * res,
+        scale=sizes.copy(),
+        positions=(idx[keep].astype(np.float64) + 0.5) * sizes,
         colors=np.ascontiguousarray(rgba[keep]))
 
 
 def export_voxel_grid_index_map(spec, origin_transform, frame: str,
                                 index_color_map) -> VoxelMarker:
     """Per-index-color marker for a ``{(x, y, z): rgba}`` mapping
-    (``ExportVoxelGridIndexMapToRViz``, ros_interface.hpp:150-210)."""
+    (convenience generalization of ``ExportVoxelGridIndexMapToRViz``,
+    ros_interface.hpp:150-210 — the reference's exact uint8-flag signature
+    is :func:`export_index_map_for_display`)."""
     if index_color_map:
         idx = np.asarray(list(index_color_map.keys()), np.int64)
         rgba = np.asarray(list(index_color_map.values()), np.float32)
@@ -450,9 +462,25 @@ def export_voxel_grid_index_map(spec, origin_transform, frame: str,
         idx = np.zeros((0, 3), np.int64)
         rgba = np.zeros((0, 4), np.float32)
     keep = rgba[:, 3] > 0.0 if rgba.size else np.zeros(0, bool)
-    res = spec.resolution
+    sizes = np.asarray(spec.voxel_sizes, np.float64)
     return VoxelMarker(
         frame=frame, pose=np.asarray(origin_transform, np.float64),
-        scale=np.full(3, res),
-        positions=(idx[keep].astype(np.float64) + 0.5) * res,
+        scale=sizes.copy(),
+        positions=(idx[keep].astype(np.float64) + 0.5) * sizes,
         colors=np.ascontiguousarray(rgba[keep]))
+
+
+def export_index_map_for_display(omap, index_map,
+                                 surface_color=(1.0, 0.0, 0.0, 1.0)
+                                 ) -> VoxelMarker:
+    """``ExportIndexMapForDisplay(map, {GridIndex: uint8}, surface_color)``
+    (ros_interface.hpp:639-649, cpp:166-183): the indices whose uint8 flag
+    is nonzero, rendered in ONE color (the reference's surface-map display;
+    feed it ``ops.topology.extract_surfaces`` output). Zero-alpha colors
+    export an empty marker like the reference's ``cell_color.a > 0`` test."""
+    indices = [k for k, flag in index_map.items() if int(flag) > 0]
+    marker = export_voxel_grid_indices(
+        omap.spec, omap.origin_transform, omap.frame, indices
+        if indices else np.zeros((0, 3), np.int64), surface_color)
+    marker.ns = "occupancy_map_surface"
+    return marker

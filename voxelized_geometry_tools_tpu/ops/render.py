@@ -165,7 +165,8 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  coarse_steps: int = 64,
                  head_steps: int = 8,
                  tail_chunks: int = 8,
-                 t_init: Optional[Array] = None) -> RenderResult:
+                 t_init: Optional[Array] = None,
+                 t_init_valid_from: Optional[Array] = None) -> RenderResult:
     """Sphere-trace rays through an SDF grid.
 
     ``origins``/``dirs`` are ``[..., 3]`` world frame. The march advances each
@@ -216,8 +217,18 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     if t_init is not None:
         # Caller-provided certified-safe starting depths (e.g. the cone
         # prepass of render_depth): never BEFORE the grid entry.
-        t0 = jnp.maximum(t0, jnp.minimum(jnp.asarray(t_init, jnp.float32),
-                                         t_stop))
+        ti = jnp.minimum(jnp.asarray(t_init, jnp.float32), t_stop)
+        if t_init_valid_from is not None:
+            # The certificate only covers [t_init_valid_from, t_init]: a
+            # ray entering the grid before the certifying march STARTED has
+            # an uncertified window [t_enter, t_init_valid_from) that could
+            # contain a surface — use its own entry instead (ADVICE round-2
+            # medium #2: the fixed cone-start slack does not bound fine
+            # entries for distant grids / grazing faces).
+            ti = jnp.where(
+                t_enter >= jnp.asarray(t_init_valid_from, jnp.float32),
+                ti, t0)
+        t0 = jnp.maximum(t0, ti)
 
     if mip is not None:
         # Empty-space skip: advance each ray by the conservative coarse
@@ -386,7 +397,13 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
 
     Cost is ``rays / factor^2`` marches; the fine march then starts at
     ``T`` and typically converges in a few steps instead of re-walking the
-    whole empty interior. Returns an ``[H, W]`` t_init image.
+    whole empty interior. Returns ``(t_init, t_valid_from)`` — two ``[H,W]``
+    images: the certified per-block depth, and the depth the cone march
+    STARTED at. The certificate only covers ``[t_valid_from, t_init]``: a
+    fine ray that enters the grid before ``t_valid_from`` (distant grid or
+    grazing entry face — the center-ray entry minus a fixed slack does not
+    bound the fine entries there) has an uncertified window and must fall
+    back to its own entry depth (:func:`sphere_trace` applies that test).
     """
     f = int(factor)
     wc, hc = camera.width // f, camera.height // f
@@ -451,9 +468,11 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     _, t_cone, _ = lax.while_loop(
         cond, body, (jnp.int32(0), t_start, hits_c & (t_start < t_exit_c)))
     t_cone = jnp.where(hits_c, t_cone, 0.0)
+    valid_from = jnp.where(hits_c, t_start, jnp.float32(jnp.inf))
     # Upsample block depths to the full image.
     t_img = jnp.repeat(jnp.repeat(t_cone, f, axis=0), f, axis=1)
-    return t_img
+    valid_img = jnp.repeat(jnp.repeat(valid_from, f, axis=0), f, axis=1)
+    return t_img, valid_img
 
 
 def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
@@ -473,18 +492,20 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
     starts every fine ray at its block's certified-safe depth — sampling
     semantics are unchanged, rays just skip the provably empty interior."""
     origins, dirs = camera_rays(camera)
-    t_init = None
+    t_init = t_valid_from = None
     if coarse_factor and camera.width % coarse_factor == 0 \
             and camera.height % coarse_factor == 0:
         thresh = (0.25 * sdf.resolution if surface_threshold is None
                   else float(surface_threshold))
-        t_init = _cone_prepass(sdf, camera, coarse_factor, num_steps,
-                               thresh, max_depth, corner_table)
+        t_init, t_valid_from = _cone_prepass(
+            sdf, camera, coarse_factor, num_steps, thresh, max_depth,
+            corner_table)
     return sphere_trace(sdf, origins, dirs, num_steps=num_steps,
                         max_depth=max_depth,
                         surface_threshold=surface_threshold,
                         corner_table=corner_table, early_exit=early_exit,
-                        mip=mip, t_init=t_init, **trace_kwargs)
+                        mip=mip, t_init=t_init,
+                        t_init_valid_from=t_valid_from, **trace_kwargs)
 
 
 def render_occupancy_image(sdf: SignedDistanceField, camera: PinholeCamera,

@@ -312,6 +312,9 @@ def raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
     vmapped axis, counter accumulation is a scatter-add. Rays are processed in
     ``ray_chunk`` blocks under ``lax.scan`` so the per-step visit buffer stays
     bounded at ``ray_chunk * max_steps`` regardless of cloud size."""
+    # DDA math (delta = res / ray etc.) assumes cubic voxels, matching the
+    # reference's uniform-enforcing maps (occupancy_map.hpp constructors).
+    spec.enforce_uniform_voxel_size()
     if max_steps is None:
         max_steps = spec.num_x + spec.num_y + spec.num_z + 2
 
@@ -363,7 +366,8 @@ def _column_carve_chunk(spec: GridSpec, p_start: Array, start_idx: Array,
                         free_rows: Array, m_max: int,
                         run_beats_c1: bool = False,
                         run_beats_c2: bool = False,
-                        c1_beats_c2: bool = True) -> Array:
+                        c1_beats_c2: bool = True,
+                        voxel_budget: Optional[int] = None) -> Array:
     """Column-marching DDA: one iteration per visited (x, y) COLUMN.
 
     The voxel walk (``_ray_visits``) pays one scatter element per visited
@@ -421,13 +425,15 @@ def _column_carve_chunk(spec: GridSpec, p_start: Array, start_idx: Array,
     alive0 = alive0 & (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny) \
         & (z0 >= 0) & (z0 < nz)
 
+    budget32 = None if voxel_budget is None else jnp.int32(voxel_budget)
+
     def cond(state):
         i = state[0]
         alive = state[7]
         return (i < m_max) & jnp.any(alive)
 
     def body(state):
-        i, cx, cy, z, kx, ky, kz, alive, rows = state
+        i, cx, cy, z, kx, ky, kz, alive, rows = state[:9]
         tx = tx0 + kx.astype(jnp.float32) * dtx_s
         ty = ty0 + ky.astype(jnp.float32) * dty_s
         tz = tz_at(kz)
@@ -498,8 +504,25 @@ def _column_carve_chunk(spec: GridSpec, p_start: Array, start_idx: Array,
         # the final voxel -> nothing to mark this iteration.
         emit = alive & ~(end_fz_final & (n_to_fz == 0))
 
-        zmin = jnp.minimum(z, z_end)
-        zmax = jnp.maximum(z, z_end)
+        if budget32 is not None:
+            # Per-ray visited-voxel budget, bit-matching the walk: each walk
+            # iteration marks exactly one voxel while alive, and this run
+            # would mark n_eff + 1 (z through z_end inclusive; the run's
+            # first voxel is marked by the iteration that stepped into the
+            # column). Truncate the run at the voxel where the walk's
+            # budget expires and kill the ray there.
+            used = state[9]
+            r_full = jnp.where(emit, n_eff + 1, 0)
+            allowed = jnp.maximum(budget32 - used, 0)
+            trunc = r_full > allowed
+            r_eff = jnp.minimum(r_full, allowed)
+            emit = emit & (r_eff > 0)
+            z_end_mark = z + sz * jnp.maximum(r_eff - 1, 0)
+        else:
+            z_end_mark = z_end
+
+        zmin = jnp.minimum(z, z_end_mark)
+        zmax = jnp.maximum(z, z_end_mark)
         mask = ((zrange >= zmin[:, None]) & (zrange <= zmax[:, None]))
         row_idx = jnp.where(emit, cx * ny + cy, n_rows)
         rows = rows.at[row_idx].add(mask.astype(free_rows.dtype),
@@ -516,6 +539,8 @@ def _column_carve_chunk(spec: GridSpec, p_start: Array, start_idx: Array,
         step_ok = ~column_done & ~break_b & ~oob_col
 
         alive_next = alive & step_ok
+        if budget32 is not None:
+            alive_next = alive_next & ~trunc
         one = jnp.int32(1)
         new_cx = jnp.where(alive_next & pick_x, ncx, cx)
         new_cy = jnp.where(alive_next & ~pick_x, ncy, cy)
@@ -523,12 +548,17 @@ def _column_carve_chunk(spec: GridSpec, p_start: Array, start_idx: Array,
         new_ky = jnp.where(alive_next & ~pick_x, ky + one, ky)
         new_z = jnp.where(alive_next, z_end, z)
         new_kz = jnp.where(alive_next, kz + n_eff, kz)
-        return (i + 1, new_cx, new_cy, new_z, new_kx, new_ky, new_kz,
-                alive_next, rows)
+        out = (i + 1, new_cx, new_cy, new_z, new_kx, new_ky, new_kz,
+               alive_next, rows)
+        if budget32 is not None:
+            out = out + (used + r_eff,)
+        return out
 
     zero_k = jnp.zeros_like(cx, dtype=jnp.int32)
     state = (jnp.int32(0), cx, cy, z0, zero_k, zero_k, zero_k, alive0,
              free_rows)
+    if budget32 is not None:
+        state = state + (zero_k,)
     state = lax.while_loop(cond, body, state)
     return state[8]
 
@@ -779,7 +809,18 @@ def raycast_pointcloud_columns(spec: GridSpec, grid_origin_transform: Array,
     identical results. Rows wins on v5e: its accumulator (8.4 MB at 128^3)
     sits below the scatter engine's ~2M-bin cliff (7.3 -> 11.3 ns/element
     past ~4M bins, measured), while the diff scheme's 10-bucket table lands
-    above it and gives back its element-count advantage."""
+    above it and gives back its element-count advantage.
+
+    ``max_steps`` is a per-ray VISITED-VOXEL budget with semantics identical
+    to :func:`raycast_pointcloud` (runs are truncated at the exact voxel
+    where the walk's step budget would expire, keeping the two paths
+    bit-identical under any budget); only ``accumulate="rows"`` supports it.
+    """
+    spec.enforce_uniform_voxel_size()
+    if max_steps is not None and accumulate != "rows":
+        raise ValueError(
+            "max_steps is only supported with accumulate='rows' (the diff "
+            "variant's endpoint algebra cannot truncate runs mid-column)")
     perm = _AXIS_PERMS[int(run_axis)]
     # Reference priority x >= y >= z mapped into the permuted frame:
     # which axis wins each pairwise tie is decided by ORIGINAL axis id.
@@ -828,7 +869,15 @@ def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
         zero = jnp.zeros(spec.counts, jnp.int32)
         return TrackingGrid(zero, zero)
 
-    m_max = nx + ny + 2 if max_steps is None else int(max_steps)
+    # m_max bounds COLUMN iterations (the xy footprint diagonal); a user
+    # max_steps is a per-ray VOXEL budget with the walk path's semantics.
+    # `_walk_and_scatter` runs whole _DDA_SEGMENT-step segments, so the
+    # walk's effective budget rounds up to a multiple of 64 — mirror that
+    # exactly to keep the two paths bit-identical under any budget.
+    m_max = nx + ny + 2
+    voxel_budget = None
+    if max_steps is not None:
+        voxel_budget = -(-int(max_steps) // _DDA_SEGMENT) * _DDA_SEGMENT
 
     chunk = min(ray_chunk, max(n_rays, 1))
     pad = (-n_rays) % chunk
@@ -873,7 +922,7 @@ def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
         else:
             free_acc = _column_carve_chunk(
                 spec, p_start, start_idx, final_idx, ray, hit, free_acc,
-                m_max, **tie_flags)
+                m_max, voxel_budget=voxel_budget, **tie_flags)
         final_in = spec.check_grid_index_in_bounds(final_idx)
         endpoint_flat = jnp.where(
             hit & final_in, spec.flat_index(final_idx).astype(jnp.int32), -1)
