@@ -158,10 +158,18 @@ def main():
             run_axis=2).seen_free)
         out = carve_fn(ccloud.points)
         _force(out)
+        # Pipeline several dispatches and force once: a single timed call
+        # includes the tunnel's 6-31 ms service-load-dependent dispatch
+        # floor (measured, benchmarks/inkernel_microbench.py), which is
+        # what made round-2's BENCH carve read 2.69 M rays/s while the
+        # multi-iteration BASELINE.md measurement read 3.31 M.
+        carve_iters = 5
         t0 = time.monotonic()
-        out = carve_fn(ccloud.points)
+        for _ in range(carve_iters):
+            out = carve_fn(ccloud.points)
         _force(out)
-        carve_rays_per_sec = cpts.shape[0] / (time.monotonic() - t0)
+        carve_rays_per_sec = (carve_iters * cpts.shape[0]
+                              / (time.monotonic() - t0))
         from voxelized_geometry_tools_tpu import native
         if native.available():
             t0 = time.monotonic()
