@@ -93,13 +93,16 @@ def main():
     pose[:3, 3] = sizes / 2.0 - np.array([0.0, 0.0, 1.2 * sizes[2]])
     camera = render.PinholeCamera.create(pose, IMG_W, IMG_H, focal=520.0)
 
-    # Winning round-2 schedule (BASELINE.md sweep): cone-certified starting
-    # depths (one cone per 4x4 pixel block), 2 full-width steps, then the
-    # convergence-sorted chunked tail.
+    # Round-3 schedule (BASELINE.md sweep): cone-certified starting depths
+    # (one cone per 4x4 pixel block), ONE full-width step (enough to seed
+    # the convergence sort's decay estimate), then the convergence-sorted
+    # chunked tail. head=1 saves ~3 ms on narrow-FOV cameras and is noise-
+    # level on this one; head_steps=0 with a cone-edge sort key measured
+    # SLOWER (44.9 ms) — one real decay sample beats any cone heuristic.
     render_fn = jax.jit(lambda d, t: render.render_depth(
         sdf.replace(distances=d), camera, num_steps=NUM_STEPS,
         corner_table=t, early_exit=True, coarse_factor=4,
-        head_steps=2, tail_chunks=64).depth)
+        head_steps=1, tail_chunks=64).depth)
     depth = render_fn(sdf.distances, table)
     _force(depth)  # compile + warmup
 

@@ -11,6 +11,7 @@ BASELINE.md.
 Run on the real chip: ``python benchmarks/carve_oblique.py``.
 """
 
+import dataclasses
 import json
 import time
 
@@ -72,12 +73,19 @@ def main():
                             ("oblique_45_all_axes", (1, 1, 1))]:
         cloud = make_cloud(direction)
         row = {}
-        t = timed(lambda: voxelize.raycast_pointcloud(
-            spec, eye, cloud).seen_free)
+        # jit the whole carve: eager per-op dispatch through the tunnel
+        # costs ~ms each and multiplies into hundreds of ms of pure
+        # dispatch otherwise.
+        walk_fn = jax.jit(lambda p: voxelize.raycast_pointcloud(
+            spec, eye, dataclasses.replace(cloud, points=p)).seen_free)
+        t = timed(lambda: walk_fn(cloud.points))
         row["walk_ms"] = t * 1e3
         for ax in (0, 1, 2):
-            t = timed(lambda: voxelize.raycast_pointcloud_columns(
-                spec, eye, cloud, run_axis=ax).seen_free)
+            col_fn = jax.jit(
+                lambda p, a=ax: voxelize.raycast_pointcloud_columns(
+                    spec, eye, dataclasses.replace(cloud, points=p),
+                    run_axis=a).seen_free)
+            t = timed(lambda: col_fn(cloud.points))
             row[f"columns_axis{ax}_ms"] = t * 1e3
         row["dominant_axis"] = voxelize.dominant_ray_axis(cloud, np.eye(4))
         results[name] = row

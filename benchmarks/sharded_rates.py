@@ -10,6 +10,7 @@ vs the plain single-chip path). Run:
   TPU 1-chip mesh:   python benchmarks/sharded_rates.py tpu
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -77,21 +78,32 @@ def main():
     results = {"mode": mode, "n": n}
     for k in sizes:
         mesh = mesh_utils.make_mesh(("z",), (k,), jax.devices()[:k])
-        t_edt = timeit(lambda m: sharded.sharded_signed_distance(
-            m, res, mesh), mask)
-        t_carve = timeit(lambda: sharded.sharded_raycast_pointcloud(
-            spec, jnp.eye(4), cloud, mesh).seen_free)
-        values = sharded.sharded_signed_distance(mask, res, mesh)
+        # jit every sharded call: shard_map invoked OUTSIDE jit executes
+        # the mapped computation op-by-op eagerly — through the TPU tunnel
+        # that is ~6-31 ms of dispatch PER OP and measured 80x slower than
+        # the jitted form (BASELINE.md round-3 sharded table).
+        edt_fn = jax.jit(lambda m: sharded.sharded_signed_distance(
+            m, res, mesh))
+        t_edt = timeit(edt_fn, mask)
+        carve_fn = jax.jit(lambda p: sharded.sharded_raycast_pointcloud(
+            spec, jnp.eye(4),
+            dataclasses.replace(cloud, points=p), mesh,
+            run_axis=2).seen_free)
+        t_carve = timeit(carve_fn, cloud.points)
+        values = edt_fn(mask)
         sdf = SignedDistanceField.create(spec, values, locked=True)
         size = n * res
         cpose = np.eye(4, dtype=np.float32)
         cpose[:3, 3] = (size / 2, size / 2, -1.2 * size)
         cam = render.PinholeCamera.create(cpose, 256, 256, focal=300.0)
-        t_render = timeit(lambda s: sharded.sharded_render_depth(
-            s, cam, mesh, early_exit=True, head_steps=2, tail_chunks=16,
-            coarse_factor=4), sdf)
-        t_render_gs = timeit(lambda s: sharded.sharded_render_depth_grid_sharded(
-            s, cam, mesh, steps_per_exchange=8), sdf)
+        render_fn = jax.jit(lambda d: sharded.sharded_render_depth(
+            sdf.replace(distances=d), cam, mesh, early_exit=True,
+            head_steps=2, tail_chunks=16, coarse_factor=4))
+        t_render = timeit(render_fn, sdf.distances)
+        render_gs_fn = jax.jit(
+            lambda d: sharded.sharded_render_depth_grid_sharded(
+                sdf.replace(distances=d), cam, mesh, steps_per_exchange=8))
+        t_render_gs = timeit(render_gs_fn, sdf.distances)
         results[f"mesh{k}"] = {
             "edt_s": t_edt, "carve_s": t_carve,
             "render_pixel_sharded_s": t_render,
@@ -102,10 +114,12 @@ def main():
 
     if mode == "tpu":
         # Single-chip plain-path numbers for the overhead comparison.
-        t_edt1 = timeit(lambda m: edt.signed_distance_from_filled_mask(
-            m, res), mask)
-        t_carve1 = timeit(lambda: voxelize.raycast_pointcloud_columns(
-            spec, jnp.eye(4), cloud).seen_free)
+        t_edt1 = timeit(jax.jit(
+            lambda m: edt.signed_distance_from_filled_mask(m, res)), mask)
+        plain_carve = jax.jit(lambda p: voxelize.raycast_pointcloud_columns(
+            spec, jnp.eye(4),
+            dataclasses.replace(cloud, points=p)).seen_free)
+        t_carve1 = timeit(plain_carve, cloud.points)
         print(f"plain single-chip: EDT {t_edt1:.3f}s  carve {t_carve1:.3f}s")
         results["plain"] = {"edt_s": t_edt1, "carve_s": t_carve1}
 

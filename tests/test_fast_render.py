@@ -201,6 +201,23 @@ def test_cone_prepass_distant_oblique_camera(sphere_sdf, corner_table,
                                np.asarray(base.depth)[m], atol=1e-5)
 
 
+def test_cone_prepass_headless_tail(sphere_sdf, corner_table):
+    """head_steps=0 + cone-edge sort key: no full-width fine steps at all —
+    the sort is an ordering change only, so depths must still equal the
+    plain march exactly."""
+    cam = _camera(sphere_sdf, w=48, h=32)
+    base = render.render_depth(sphere_sdf, cam, num_steps=64,
+                               corner_table=corner_table, early_exit=True)
+    headless = render.render_depth(sphere_sdf, cam, num_steps=64,
+                                   corner_table=corner_table,
+                                   early_exit=True, coarse_factor=4,
+                                   head_steps=0, tail_chunks=8)
+    np.testing.assert_array_equal(np.asarray(base.hit),
+                                  np.asarray(headless.hit))
+    np.testing.assert_allclose(np.asarray(headless.depth),
+                               np.asarray(base.depth), atol=1e-6)
+
+
 def test_cone_prepass_scan_path(sphere_sdf, corner_table):
     """Cone prepass composes with the differentiable scan march too."""
     cam = _camera(sphere_sdf, w=48, h=32)

@@ -166,7 +166,8 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  head_steps: int = 8,
                  tail_chunks: int = 8,
                  t_init: Optional[Array] = None,
-                 t_init_valid_from: Optional[Array] = None) -> RenderResult:
+                 t_init_valid_from: Optional[Array] = None,
+                 sort_key: Optional[Array] = None) -> RenderResult:
     """Sphere-trace rays through an SDF grid.
 
     ``origins``/``dirs`` are ``[..., 3]`` world frame. The march advances each
@@ -304,8 +305,16 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     if early_exit:
         head = min(int(head_steps), num_steps) if tail_chunks > 1 \
             else num_steps
-        t_final, alive, d_prev, d_cur = march_while(
-            t0, alive0, origins, dirs, t_stop, head)
+        if head > 0:
+            t_final, alive, d_prev, d_cur = march_while(
+                t0, alive0, origins, dirs, t_stop, head)
+        else:
+            # head_steps=0: no full-width fine steps at all — the caller
+            # must supply `sort_key` (e.g. the cone-depth edge key of
+            # render_depth) so the convergence sort has something to
+            # cluster slow rays by.
+            t_final, alive = t0, alive0
+            d_prev = d_cur = None
         remaining = num_steps - head
         if remaining > 0 and tail_chunks > 1:
             # Compact still-alive rays ordered by ESTIMATED remaining steps
@@ -327,8 +336,16 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                 return jnp.pad(x, cfg, constant_values=fill)
 
             alive_f = flat_pad(alive, False)
-            decay = flat_pad(d_prev - d_cur, 0.0)
-            steps_est = flat_pad(d_cur, 0.0) / jnp.maximum(decay, eps)
+            if d_cur is not None:
+                decay = flat_pad(d_prev - d_cur, 0.0)
+                steps_est = flat_pad(d_cur, 0.0) / jnp.maximum(decay, eps)
+            elif sort_key is not None:
+                # Caller-supplied slowness estimate (no fine samples yet):
+                # larger = slower, so negate for the ascending sort.
+                steps_est = -flat_pad(
+                    jnp.asarray(sort_key, jnp.float32), 0.0)
+            else:
+                steps_est = flat_pad(t_final * 0.0, 0.0)
             key = jnp.where(alive_f, steps_est, jnp.float32(3e30))
             order = jnp.argsort(key, stable=True)
             t_s = flat_pad(t_final, 0.0)[order]
@@ -492,7 +509,7 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
     starts every fine ray at its block's certified-safe depth — sampling
     semantics are unchanged, rays just skip the provably empty interior."""
     origins, dirs = camera_rays(camera)
-    t_init = t_valid_from = None
+    t_init = t_valid_from = sort_key = None
     if coarse_factor and camera.width % coarse_factor == 0 \
             and camera.height % coarse_factor == 0:
         thresh = (0.25 * sdf.resolution if surface_threshold is None
@@ -500,12 +517,27 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
         t_init, t_valid_from = _cone_prepass(
             sdf, camera, coarse_factor, num_steps, thresh, max_depth,
             corner_table)
+        if trace_kwargs.get("head_steps", 8) == 0:
+            # head_steps=0 skips ALL full-width fine steps; the tail sort
+            # then clusters slow rays by the cone-depth DISCONTINUITY of
+            # their block — silhouette/grazing rays live where neighboring
+            # blocks' certified depths jump, interior hits where they are
+            # smooth — computed from the cone image alone.
+            f = int(coarse_factor)
+            tb = t_init[::f, ::f]
+            pad_b = jnp.pad(tb, 1, mode="edge")
+            edge = jnp.zeros_like(tb)
+            for dx, dy in ((0, 1), (2, 1), (1, 0), (1, 2)):
+                nb = pad_b[dx:dx + tb.shape[0], dy:dy + tb.shape[1]]
+                edge = jnp.maximum(edge, jnp.abs(tb - nb))
+            sort_key = jnp.repeat(jnp.repeat(edge, f, axis=0), f, axis=1)
     return sphere_trace(sdf, origins, dirs, num_steps=num_steps,
                         max_depth=max_depth,
                         surface_threshold=surface_threshold,
                         corner_table=corner_table, early_exit=early_exit,
                         mip=mip, t_init=t_init,
-                        t_init_valid_from=t_valid_from, **trace_kwargs)
+                        t_init_valid_from=t_valid_from, sort_key=sort_key,
+                        **trace_kwargs)
 
 
 def render_occupancy_image(sdf: SignedDistanceField, camera: PinholeCamera,

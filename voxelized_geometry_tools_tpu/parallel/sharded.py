@@ -15,6 +15,11 @@ Strategy (SURVEY.md section 5, BASELINE.json north star):
 * **Rendering**: rays (pixels) are sharded; the SDF grid is replicated inside
   the shard (gather-heavy sampling wants local data); the loss/gradients
   ``psum`` back — gradient all-reduce handled by jit's partitioner.
+
+Call these under ``jax.jit``. ``shard_map`` invoked outside jit executes
+the mapped computation op by op eagerly; through a remote TPU runtime each
+eager dispatch costs milliseconds, measured 80x slower than the jitted
+form on v5e (BASELINE.md round-3 sharded table).
 """
 
 from __future__ import annotations
