@@ -397,7 +397,8 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
 def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
                   factor: int, num_steps: int,
                   surface_threshold: float, max_depth: float,
-                  corner_table: Optional[sdf_query.CornerTable]) -> Array:
+                  corner_table: Optional[sdf_query.CornerTable],
+                  max_cone_steps: Optional[int] = None) -> Array:
     """Cone-traced coarse pass: one ray per ``factor x factor`` pixel block,
     advanced only while the SDF sample exceeds the cone radius — so the
     returned per-block depth ``T`` certifies that NO fine ray in the block
@@ -414,13 +415,22 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
 
     Cost is ``rays / factor^2`` marches; the fine march then starts at
     ``T`` and typically converges in a few steps instead of re-walking the
-    whole empty interior. Returns ``(t_init, t_valid_from)`` — two ``[H,W]``
-    images: the certified per-block depth, and the depth the cone march
-    STARTED at. The certificate only covers ``[t_valid_from, t_init]``: a
-    fine ray that enters the grid before ``t_valid_from`` (distant grid or
-    grazing entry face — the center-ray entry minus a fixed slack does not
-    bound the fine entries there) has an uncertified window and must fall
-    back to its own entry depth (:func:`sphere_trace` applies that test).
+    whole empty interior. Returns ``(t_init, t_valid_from, slowness)`` —
+    three ``[H,W]`` images: the certified per-block depth, the depth the
+    cone march STARTED at, and a per-block slowness estimate (march steps
+    the cone consumed, +budget if it never died — silhouette-grazing cones
+    advance by the eps floor and score highest). The certificate only
+    covers ``[t_valid_from, t_init]``: a fine ray that enters the grid
+    before ``t_valid_from`` (distant grid or grazing entry face — the
+    center-ray entry minus a fixed slack does not bound the fine entries
+    there) has an uncertified window and must fall back to its own entry
+    depth (:func:`sphere_trace` applies that test).
+
+    ``max_cone_steps`` caps the cone march budget below ``num_steps``:
+    shallower certified starts are still certified (correctness is
+    unaffected), the fine tail just marches a little further — a knob to
+    trade the full-width cone while_loop (which silhouette cones otherwise
+    drag to ``num_steps``) against the sorted, chunked fine tail.
     """
     f = int(factor)
     wc, hc = camera.width // f, camera.height // f
@@ -468,28 +478,38 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     margin = jnp.float32(2.0 * surface_threshold + 0.5 * sdf.resolution)
     eps = jnp.float32(1e-3 * sdf.resolution)
 
+    budget = num_steps if max_cone_steps is None \
+        else min(int(max_cone_steps), num_steps)
+
     def cond(state):
-        i, _, alive = state
-        return (i < num_steps) & jnp.any(alive)
+        i, _, alive, _ = state
+        return (i < budget) & jnp.any(alive)
 
     def body(state):
-        i, t, alive = state
+        i, t, alive, used = state
         q = sample(origins + center * t[..., None])
         r = tan_t * t + margin
         safe = q.valid & (q.value > r)
         step = jnp.maximum((q.value - r) / (1.0 + tan_t), eps)
         t_new = jnp.where(alive & safe, t + step, t)
         alive_new = alive & safe & (t_new < t_exit_c)
-        return i + 1, t_new, alive_new
+        used_new = jnp.where(alive, used + 1.0, used)
+        return i + 1, t_new, alive_new, used_new
 
-    _, t_cone, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), t_start, hits_c & (t_start < t_exit_c)))
+    alive0 = hits_c & (t_start < t_exit_c)
+    _, t_cone, alive_end, used = lax.while_loop(
+        cond, body,
+        (jnp.int32(0), t_start, alive0, jnp.zeros_like(t_start)))
     t_cone = jnp.where(hits_c, t_cone, 0.0)
     valid_from = jnp.where(hits_c, t_start, jnp.float32(jnp.inf))
-    # Upsample block depths to the full image.
+    # Slowness: cones that never died (silhouette grazers crawling at the
+    # eps floor, or budget-capped deep cones) sort after everything else.
+    slowness = used + jnp.where(alive_end, jnp.float32(budget), 0.0)
+    # Upsample block images to the full image.
     t_img = jnp.repeat(jnp.repeat(t_cone, f, axis=0), f, axis=1)
     valid_img = jnp.repeat(jnp.repeat(valid_from, f, axis=0), f, axis=1)
-    return t_img, valid_img
+    slow_img = jnp.repeat(jnp.repeat(slowness, f, axis=0), f, axis=1)
+    return t_img, valid_img, slow_img
 
 
 def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
@@ -499,6 +519,7 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                  early_exit: bool = False,
                  mip: Optional[SdfMip] = None,
                  coarse_factor: int = 0,
+                 cone_steps: Optional[int] = None,
                  **trace_kwargs) -> RenderResult:
     """Render an ``[H, W]`` depth image (differentiable in ``sdf.distances``
     and ``camera.pose``). See :func:`sphere_trace` for the performance
@@ -507,30 +528,28 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
     ``coarse_factor > 0`` runs the cone-traced prepass
     (:func:`_cone_prepass`, one cone per ``factor^2`` pixel block) and
     starts every fine ray at its block's certified-safe depth — sampling
-    semantics are unchanged, rays just skip the provably empty interior."""
+    semantics are unchanged, rays just skip the provably empty interior.
+    ``cone_steps`` caps the cone march budget (shallower but cheaper
+    certified starts; see :func:`_cone_prepass`)."""
     origins, dirs = camera_rays(camera)
     t_init = t_valid_from = sort_key = None
     if coarse_factor and camera.width % coarse_factor == 0 \
             and camera.height % coarse_factor == 0:
         thresh = (0.25 * sdf.resolution if surface_threshold is None
                   else float(surface_threshold))
-        t_init, t_valid_from = _cone_prepass(
+        t_init, t_valid_from, cone_slow = _cone_prepass(
             sdf, camera, coarse_factor, num_steps, thresh, max_depth,
-            corner_table)
+            corner_table, max_cone_steps=cone_steps)
         if trace_kwargs.get("head_steps", 8) == 0:
             # head_steps=0 skips ALL full-width fine steps; the tail sort
-            # then clusters slow rays by the cone-depth DISCONTINUITY of
-            # their block — silhouette/grazing rays live where neighboring
-            # blocks' certified depths jump, interior hits where they are
-            # smooth — computed from the cone image alone.
-            f = int(coarse_factor)
-            tb = t_init[::f, ::f]
-            pad_b = jnp.pad(tb, 1, mode="edge")
-            edge = jnp.zeros_like(tb)
-            for dx, dy in ((0, 1), (2, 1), (1, 0), (1, 2)):
-                nb = pad_b[dx:dx + tb.shape[0], dy:dy + tb.shape[1]]
-                edge = jnp.maximum(edge, jnp.abs(tb - nb))
-            sort_key = jnp.repeat(jnp.repeat(edge, f, axis=0), f, axis=1)
+            # then clusters slow rays by their block cone's own SLOWNESS
+            # (steps the cone consumed, +budget if it never converged) —
+            # silhouette-grazing cones crawl at the eps floor and score
+            # highest, interior hits converge fast and score lowest. This
+            # key comes free with the prepass march (an earlier cone-depth
+            # edge-discontinuity key misclassified enough rays to measure
+            # SLOWER than head=1; BASELINE.md round-3 sweep).
+            sort_key = cone_slow
     return sphere_trace(sdf, origins, dirs, num_steps=num_steps,
                         max_depth=max_depth,
                         surface_threshold=surface_threshold,

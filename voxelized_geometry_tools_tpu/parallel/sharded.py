@@ -250,7 +250,8 @@ def sharded_render_depth(sdf: SignedDistanceField,
                          early_exit: bool = False,
                          head_steps: int = 8,
                          tail_chunks: int = 8,
-                         coarse_factor: int = 0) -> Array:
+                         coarse_factor: int = 0,
+                         cone_steps: Optional[int] = None) -> Array:
     """Render with pixel rows sharded across devices (grid replicated).
     Returns the ``[H, W]`` depth image.
 
@@ -267,20 +268,23 @@ def sharded_render_depth(sdf: SignedDistanceField,
             f"{camera.height}")
     origins, dirs = render_ops.camera_rays(camera)
 
-    t_init = t_valid_from = None
+    t_init = t_valid_from = sort_key = None
     if coarse_factor and camera.width % coarse_factor == 0 \
             and camera.height % (coarse_factor * n_shards) == 0:
         # The cone prepass is tiny (rays / factor^2) — run it replicated
         # and shard the resulting per-pixel start depths with the rays.
         thresh = 0.25 * sdf.resolution
-        t_init, t_valid_from = render_ops._cone_prepass(
+        t_init, t_valid_from, cone_slow = render_ops._cone_prepass(
             sdf, camera, coarse_factor, num_steps, thresh, max_depth,
-            corner_table)
+            corner_table, max_cone_steps=cone_steps)
+        if head_steps == 0:
+            sort_key = cone_slow
 
     table_rows = corner_table.rows if corner_table is not None else None
 
     def local_render(local_origins, local_dirs, distances, rows=None,
-                     local_t_init=None, local_t_valid=None):
+                     local_t_init=None, local_t_valid=None,
+                     local_sort_key=None):
         local_sdf = sdf.replace(distances=distances)
         table = None
         if rows is not None:
@@ -290,26 +294,33 @@ def sharded_render_depth(sdf: SignedDistanceField,
             local_sdf, local_origins, local_dirs, num_steps=num_steps,
             max_depth=max_depth, corner_table=table, early_exit=early_exit,
             head_steps=head_steps, tail_chunks=tail_chunks,
-            t_init=local_t_init, t_init_valid_from=local_t_valid)
+            t_init=local_t_init, t_init_valid_from=local_t_valid,
+            sort_key=local_sort_key)
         return result.depth
 
     args = [origins, dirs, sdf.distances]
     specs = [P(axis_name), P(axis_name), P()]
     has_rows = table_rows is not None
     has_tinit = t_init is not None
+    has_key = sort_key is not None
     if has_rows:
         args.append(table_rows)
         specs.append(P())
     if has_tinit:
         args.extend([t_init, t_valid_from])
         specs.extend([P(axis_name), P(axis_name)])
+    if has_key:
+        args.append(sort_key)
+        specs.append(P(axis_name))
 
     def fn(o, d, dist, *extra):
         rows = extra[0] if has_rows else None
-        t_i = extra[-2] if has_tinit else None
-        t_v = extra[-1] if has_tinit else None
+        rest = extra[1:] if has_rows else extra
+        t_i = rest[0] if has_tinit else None
+        t_v = rest[1] if has_tinit else None
+        s_k = rest[-1] if has_key else None
         return local_render(o, d, dist, rows=rows, local_t_init=t_i,
-                            local_t_valid=t_v)
+                            local_t_valid=t_v, local_sort_key=s_k)
 
     mapped = shard_map(fn, mesh=mesh, in_specs=tuple(specs),
                        out_specs=P(axis_name))
