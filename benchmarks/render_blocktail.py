@@ -1,0 +1,96 @@
+"""Round-3 block-tail schedule benchmark.
+
+Measures the head_steps=0 BLOCK-TAIL schedule (cone-slowness sort key at
+cone-block granularity via ``sort_block``, plus certified-miss retirement
+of rays whose block cone escaped the grid safe) against the shipped
+head_steps=1 decay-sorted tail, on both bench cameras (focal 520 — the
+headline config — and focal 600, the sweep camera), 512^3 sphere, 640x480.
+
+The earlier head=0 attempt (BASELINE.md round-3 sweep: 44.9 ms) sorted
+single rays by a cone-EDGE key; this one sorts whole cone blocks by the
+cone's own march slowness and never marches certified-miss rays at all.
+Run on the real chip.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxelized_geometry_tools_tpu import GridSpec
+from voxelized_geometry_tools_tpu.core.maps import SignedDistanceField
+from voxelized_geometry_tools_tpu.ops import edt, render, sdf_query
+
+
+def _force(x):
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def main():
+    n = 512
+    res = 0.01
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    ax = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) ** 2
+    mask = (ax[:, None, None] + ax[None, :, None]
+            + ax[None, None, :]) <= 128.0 ** 2
+    values = edt._sdf_values_from_mask(mask, res)
+    sdf = SignedDistanceField.create(spec, values, locked=True)
+    table = jax.jit(sdf_query.build_corner_table)(sdf)
+
+    size = n * res
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (size / 2, size / 2, -1.2 * size)
+
+    schedules = [
+        dict(coarse_factor=4, head_steps=1, tail_chunks=64),  # shipped
+        dict(coarse_factor=4, head_steps=0, tail_chunks=64),
+        dict(coarse_factor=4, head_steps=0, tail_chunks=32),
+        dict(coarse_factor=4, head_steps=0, tail_chunks=96),
+        dict(coarse_factor=8, head_steps=0, tail_chunks=64),
+        dict(coarse_factor=4, head_steps=0, tail_chunks=64, cone_steps=48),
+    ]
+    all_results = {}
+    for focal in (520.0, 600.0):
+        cam = render.PinholeCamera.create(pose, 640, 480, focal=focal)
+        rays = 640 * 480
+        ref_depth = None
+        results = []
+        for sched in schedules:
+            fn = jax.jit(lambda d, t, s=tuple(sorted(sched.items())):
+                         render.render_depth(
+                             sdf.replace(distances=d), cam, num_steps=64,
+                             corner_table=t, early_exit=True,
+                             **dict(s)).depth)
+            depth = fn(sdf.distances, table)
+            _force(depth)
+            t0 = time.monotonic()
+            for _ in range(10):
+                depth = fn(sdf.distances, table)
+            _force(depth)
+            dt = (time.monotonic() - t0) / 10
+            d_np = np.asarray(depth)
+            if ref_depth is None:
+                ref_depth = d_np
+                exact = True
+            else:
+                exact = bool(np.array_equal(ref_depth, d_np))
+            results.append({**sched, "ms": dt * 1e3,
+                            "mrays": rays / dt / 1e6, "exact": exact})
+            print(f"focal={focal} {sched}: {dt*1e3:.1f} ms "
+                  f"({rays/dt/1e6:.2f} M rays/s) exact={exact}",
+                  flush=True)
+        all_results[focal] = results
+    print(json.dumps(all_results))
+
+
+if __name__ == "__main__":
+    main()
+
+

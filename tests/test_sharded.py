@@ -139,13 +139,26 @@ def test_sharded_render_cone_and_sorted_tail_matches(mesh8):
     camera = render.PinholeCamera.create(pose, width=24, height=32,
                                          focal=20.0)
 
+    # Sharding invariance: same knobs on both sides. (A no-cone single
+    # render is NOT the right oracle — a WORKING cone prepass changes the
+    # sample sequence, so cone-on depths only agree with cone-off within
+    # the convergence threshold; see tests/test_fast_render.py
+    # _check_cone_equiv for that contract.)
     single = render.render_depth(sdf, camera, num_steps=32,
-                                 corner_table=table).depth
+                                 corner_table=table, early_exit=True,
+                                 head_steps=2, tail_chunks=4,
+                                 coarse_factor=2).depth
     multi = sharded.sharded_render_depth(
         sdf, camera, mesh8, num_steps=32, corner_table=table,
         early_exit=True, head_steps=2, tail_chunks=4, coarse_factor=2)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
                                atol=1e-5)
+    # And the cone version must still satisfy the equivalence contract
+    # against the plain march: no surface skipped.
+    base = render.render_depth(sdf, camera, num_steps=32,
+                               corner_table=table, early_exit=True)
+    assert (np.asarray(base.hit)
+            <= (np.asarray(multi) < 99.0)).all()
 
 
 def test_sharded_column_carve_matches(mesh8):

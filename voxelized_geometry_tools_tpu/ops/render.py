@@ -167,7 +167,9 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  tail_chunks: int = 8,
                  t_init: Optional[Array] = None,
                  t_init_valid_from: Optional[Array] = None,
-                 sort_key: Optional[Array] = None) -> RenderResult:
+                 sort_key: Optional[Array] = None,
+                 certified_miss: Optional[Array] = None,
+                 sort_block: int = 1) -> RenderResult:
     """Sphere-trace rays through an SDF grid.
 
     ``origins``/``dirs`` are ``[..., 3]`` world frame. The march advances each
@@ -177,7 +179,13 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     keeps marching stable at coarse grids), the ray exits the grid, or
     ``num_steps`` is exhausted.
 
-    Performance knobs (both preserve exact sampling semantics):
+    Performance knobs (``corner_table``/``early_exit``/``head_steps``/
+    ``tail_chunks`` preserve exact sampling semantics; ``t_init`` — a
+    certified deeper start — changes the sample SEQUENCE, so depths agree
+    with the plain march within the convergence threshold and hits are a
+    superset, never fewer: the sphere-trace map ``t -> t + d(t)`` is
+    monotone for a 1-Lipschitz field, so a certified-safe skip can't cross
+    a surface the plain march would find):
 
     * ``corner_table``: a prebuilt :class:`sdf_query.CornerTable` — trilinear
       samples cost ONE gather instead of eight (TPU gathers are issue-bound;
@@ -198,6 +206,19 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
       each under its own while_loop — all-converged chunks cost one step
       instead of dragging the whole wave to ``num_steps`` (TPU gathers are
       issued per active row, so wave width is the cost).
+    * ``certified_miss`` (early_exit mode only): a bool array marking rays
+      the caller PROVED cannot meet the surface anywhere in
+      ``[t_init_valid_from, t_init]`` (the cone prepass's escape
+      certificate). Such rays — when their own in-grid span lies inside
+      that interval — are retired before the tail march entirely; they
+      still receive the standard final sample, so outputs are unchanged.
+    * ``sort_block`` (with ``tail_chunks``): treat each run of
+      ``sort_block`` consecutive rays as ONE sort unit — the compaction
+      argsort runs over ``n / sort_block`` keys (block key = most-urgent
+      ray's key) and the permute moves whole contiguous row blocks, which
+      the gather engine services at near row rate instead of per scalar.
+      The caller must lay rays out so blocks are contiguous
+      (:func:`render_depth` does this for cone blocks).
     """
     if surface_threshold is None:
         surface_threshold = 0.25 * sdf.resolution
@@ -215,6 +236,17 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     t_enter, t_exit, hits_grid = _clip_to_grid(sdf, origins, dirs)
     t0 = jnp.where(hits_grid, t_enter + eps, jnp.float32(max_depth))
     t_stop = jnp.minimum(t_exit, jnp.float32(max_depth))
+    killed = None
+    if certified_miss is not None and t_init is not None and early_exit:
+        # The miss certificate covers [t_init_valid_from, t_init]; a ray
+        # whose own in-grid span sits inside it provably never converges,
+        # so skip its march (it keeps the standard final sample below —
+        # identical outputs, the certificate guarantees no hit).
+        killed = jnp.asarray(certified_miss) \
+            & (t_stop <= jnp.asarray(t_init, jnp.float32))
+        if t_init_valid_from is not None:
+            killed = killed & (
+                t_enter >= jnp.asarray(t_init_valid_from, jnp.float32))
     if t_init is not None:
         # Caller-provided certified-safe starting depths (e.g. the cone
         # prepass of render_depth): never BEFORE the grid entry.
@@ -302,6 +334,8 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
         return t_out, alive_out, d_prev, d_cur
 
     alive0 = hits_grid if mip is None else (hits_grid & (t0 < t_stop))
+    if killed is not None:
+        alive0 = alive0 & ~killed
     if early_exit:
         head = min(int(head_steps), num_steps) if tail_chunks > 1 \
             else num_steps
@@ -327,7 +361,12 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             batch_shape = t_final.shape
             n = int(np.prod(batch_shape)) if batch_shape else 1
             k = int(tail_chunks)
-            pad = (-n) % k
+            bs = int(sort_block) if sort_block and n % sort_block == 0 \
+                else 1
+            # Pad in whole sort blocks so block units stay intact.
+            nb = n // bs
+            pad_b = (-nb) % k
+            pad = pad_b * bs
             chunk = (n + pad) // k
 
             def flat_pad(x, fill):
@@ -347,15 +386,32 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             else:
                 steps_est = flat_pad(t_final * 0.0, 0.0)
             key = jnp.where(alive_f, steps_est, jnp.float32(3e30))
-            order = jnp.argsort(key, stable=True)
-            t_s = flat_pad(t_final, 0.0)[order]
-            alive_s = alive_f[order]
-            o_s = flat_pad(jnp.broadcast_to(origins, batch_shape + (3,)),
-                           0.0)[order]
-            d_s = flat_pad(jnp.broadcast_to(dirs, batch_shape + (3,)),
-                           0.0)[order]
-            stop_s = flat_pad(jnp.broadcast_to(t_stop, batch_shape),
-                              0.0)[order]
+            if bs > 1:
+                # Sort at BLOCK granularity: one key per contiguous
+                # sort_block run (its most-urgent live ray), and permute
+                # whole [bs]-row units — the gather engine moves 4*bs-byte
+                # rows at near scalar-row cost, so the compaction permute
+                # drops from n row-gathers to n/bs.
+                order_b = jnp.argsort(key.reshape(-1, bs).min(axis=1),
+                                      stable=True)
+
+                def permute(x):
+                    rows = x.reshape((nb + pad_b, bs) + x.shape[1:])
+                    return rows[order_b].reshape(x.shape)
+            else:
+                order = jnp.argsort(key, stable=True)
+
+                def permute(x):
+                    return x[order]
+
+            t_s = permute(flat_pad(t_final, 0.0))
+            alive_s = permute(alive_f)
+            o_s = permute(flat_pad(
+                jnp.broadcast_to(origins, batch_shape + (3,)), 0.0))
+            d_s = permute(flat_pad(
+                jnp.broadcast_to(dirs, batch_shape + (3,)), 0.0))
+            stop_s = permute(flat_pad(
+                jnp.broadcast_to(t_stop, batch_shape), 0.0))
 
             def march_chunk(args):
                 t_c, alive_c, o_c, d_c, stop_c = args
@@ -369,8 +425,14 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                 t_s.reshape(k, chunk), alive_s.reshape(k, chunk),
                 o_s.reshape(k, chunk, 3), d_s.reshape(k, chunk, 3),
                 stop_s.reshape(k, chunk))).reshape(-1)
-            t_final = jnp.zeros(n + pad, t_final.dtype).at[order].set(
-                t_sorted)[:n].reshape(batch_shape)
+            if bs > 1:
+                t_final = jnp.zeros(
+                    (nb + pad_b, bs), t_final.dtype).at[order_b].set(
+                        t_sorted.reshape(nb + pad_b, bs)).reshape(-1)[
+                            :n].reshape(batch_shape)
+            else:
+                t_final = jnp.zeros(n + pad, t_final.dtype).at[order].set(
+                    t_sorted)[:n].reshape(batch_shape)
     else:
         def step(carry, _):
             t, alive = carry
@@ -415,16 +477,20 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
 
     Cost is ``rays / factor^2`` marches; the fine march then starts at
     ``T`` and typically converges in a few steps instead of re-walking the
-    whole empty interior. Returns ``(t_init, t_valid_from, slowness)`` —
-    three ``[H,W]`` images: the certified per-block depth, the depth the
-    cone march STARTED at, and a per-block slowness estimate (march steps
-    the cone consumed, +budget if it never died — silhouette-grazing cones
-    advance by the eps floor and score highest). The certificate only
-    covers ``[t_valid_from, t_init]``: a fine ray that enters the grid
-    before ``t_valid_from`` (distant grid or grazing entry face — the
-    center-ray entry minus a fixed slack does not bound the fine entries
-    there) has an uncertified window and must fall back to its own entry
-    depth (:func:`sphere_trace` applies that test).
+    whole empty interior. Returns ``(t_init, t_valid_from, slowness,
+    escaped)`` — four ``[H,W]`` images: the certified per-block depth, the
+    depth the cone march STARTED at, a per-block slowness estimate (march
+    steps the cone consumed, +budget if it never died — silhouette-grazing
+    cones advance by the eps floor and score highest), and a bool MISS
+    certificate: the cone left the grid still safe, so the certified
+    interval ``[t_valid_from, t_init]`` spans the whole in-grid path and
+    every fine ray contained in it provably never meets the surface
+    (:func:`sphere_trace` uses this to retire such rays without marching
+    them). The certificate only covers ``[t_valid_from, t_init]`` where
+    ``t_valid_from`` is the CENTER ray's entry depth: a fine ray that
+    enters the grid before that (side-face or grazing entry) has an
+    uncertified window and must fall back to its own entry depth
+    (:func:`sphere_trace` applies that test).
 
     ``max_cone_steps`` caps the cone march budget below ``num_steps``:
     shallower certified starts are still certified (correctness is
@@ -463,45 +529,96 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     tan_t = sin_t / jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 1e-6))
 
     if corner_table is not None:
-        def sample(pos):
+        def raw_sample(pos):
             return sdf_query.estimate_location_distance_fast(
                 sdf, corner_table, pos)
     else:
-        def sample(pos):
+        def raw_sample(pos):
             return sdf_query.estimate_location_distance(sdf, pos)
 
-    # Entry/exit from the most conservative of center + corner rays, with
-    # a block-diagonal slack so every fine ray's entry is covered.
+    # Cone samples are clamped INTO the grid box (grid frame) and the
+    # returned value is offset-corrected: there is no geometry outside the
+    # grid and the SDF is 1-Lipschitz, so d(true) >= d(clamped) - |offset|
+    # — the safety test stays conservative while the march can start
+    # BEFORE the entry face and run past the exit face, where the raw
+    # query is invalid. (Until round 3 the prepass issued raw queries from
+    # its pre-entry start, so for ANY camera outside the grid the first
+    # sample was invalid, every cone died on step 0, and the prepass
+    # silently certified nothing — the round-2 render gains all came from
+    # the convergence-sorted tail.)
+    inv = sdf.inverse_origin_transform()
+    fwd = sdf.origin_transform
+    sizes_g = jnp.asarray(sdf.spec.grid_sizes, jnp.float32)
+    clamp_pad = jnp.float32(0.25 * sdf.resolution)
+
+    def sample(pos):
+        p_g = transforms.apply_isometry(inv, pos)
+        p_c = jnp.clip(p_g, clamp_pad, sizes_g - clamp_pad)
+        off = jnp.linalg.norm(p_g - p_c, axis=-1)
+        q = raw_sample(transforms.apply_isometry(fwd, p_c))
+        return sdf_query.DistanceQuery(q.value - off, q.valid)
+
+    # Start the cone exactly at the CENTER ray's entry depth. For face-on
+    # blocks every fine ray of the block enters later than the center (the
+    # center direction has the largest cosine against the face normal), so
+    # the certificate covers them from their own entry; side-face/grazing
+    # fine rays that enter earlier fall back to their own entry depth via
+    # the per-ray ``t_enter >= t_valid_from`` gate in :func:`sphere_trace`
+    # (round-2 ADVICE #2). A pre-entry slack start is counterproductive:
+    # the Lipschitz offset correction makes pre-entry samples read
+    # ``d(face) - |pre-entry distance|``, which kills the cone whenever the
+    # slack exceeds the face's clearance.
     t_enter_c, t_exit_c, hits_c = _clip_to_grid(sdf, origins, center)
-    slack = jnp.float32(2.0 * f * sdf.resolution)
-    t_start = jnp.maximum(t_enter_c - slack, 0.0)
-    margin = jnp.float32(2.0 * surface_threshold + 0.5 * sdf.resolution)
+    t_start = jnp.maximum(t_enter_c, 0.0)
+    # Safety margin. The certificate must bound the INTERPOLATED corrected
+    # query (what the fine march converges on), which is NOT 1-Lipschitz —
+    # corrected corner values can differ by up to 2*res across a sign
+    # change. Route the bound through the true metric distance D (exactly
+    # 1-Lipschitz) instead: |query(p) - D(p)| <= delta with
+    # delta = (0.5 + sqrt(3)/2) * res (0.5*res center correction plus the
+    # weighted-corner-distance interpolation error, maximal at the cell
+    # center), so  query(p_fine) >= query(sample) - 2*delta - |p_fine -
+    # p_sample|  and the cone must keep  query > tan*t + 2*delta + thresh.
+    # (The round-2 margin 2*thresh + 0.5*res was never exercised — the
+    # prepass died on step 0, see above — and is genuinely unsound: it
+    # skipped marginal silhouette hits once the cone actually marched.)
+    delta = (0.5 + float(np.sqrt(3.0)) / 2.0) * sdf.resolution
+    margin = jnp.float32(surface_threshold + 2.0 * delta)
     eps = jnp.float32(1e-3 * sdf.resolution)
 
     budget = num_steps if max_cone_steps is None \
         else min(int(max_cone_steps), num_steps)
 
     def cond(state):
-        i, _, alive, _ = state
+        i, _, alive, _, _ = state
         return (i < budget) & jnp.any(alive)
 
     def body(state):
-        i, t, alive, used = state
+        i, t, alive, used, escaped = state
         q = sample(origins + center * t[..., None])
         r = tan_t * t + margin
         safe = q.valid & (q.value > r)
         step = jnp.maximum((q.value - r) / (1.0 + tan_t), eps)
         t_new = jnp.where(alive & safe, t + step, t)
         alive_new = alive & safe & (t_new < t_exit_c)
+        # Escape: the cone crossed the grid-exit depth while STILL safe —
+        # the certified interval now covers its entire in-grid path.
+        escaped_new = escaped | (alive & safe & (t_new >= t_exit_c))
         used_new = jnp.where(alive, used + 1.0, used)
-        return i + 1, t_new, alive_new, used_new
+        return i + 1, t_new, alive_new, used_new, escaped_new
 
     alive0 = hits_c & (t_start < t_exit_c)
-    _, t_cone, alive_end, used = lax.while_loop(
+    _, t_cone, alive_end, used, escaped = lax.while_loop(
         cond, body,
-        (jnp.int32(0), t_start, alive0, jnp.zeros_like(t_start)))
+        (jnp.int32(0), t_start, alive0, jnp.zeros_like(t_start),
+         jnp.zeros_like(alive0)))
     t_cone = jnp.where(hits_c, t_cone, 0.0)
     valid_from = jnp.where(hits_c, t_start, jnp.float32(jnp.inf))
+    # Blocks whose center ray misses the grid entirely are also certified
+    # misses IF no fine ray can hit the grid either — conservatively leave
+    # them uncertified (sphere_trace's own slab test retires them for one
+    # full-width check, the same cost as before).
+    escaped = escaped & hits_c
     # Slowness: cones that never died (silhouette grazers crawling at the
     # eps floor, or budget-capped deep cones) sort after everything else.
     slowness = used + jnp.where(alive_end, jnp.float32(budget), 0.0)
@@ -509,7 +626,8 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     t_img = jnp.repeat(jnp.repeat(t_cone, f, axis=0), f, axis=1)
     valid_img = jnp.repeat(jnp.repeat(valid_from, f, axis=0), f, axis=1)
     slow_img = jnp.repeat(jnp.repeat(slowness, f, axis=0), f, axis=1)
-    return t_img, valid_img, slow_img
+    esc_img = jnp.repeat(jnp.repeat(escaped, f, axis=0), f, axis=1)
+    return t_img, valid_img, slow_img, esc_img
 
 
 def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
@@ -527,19 +645,30 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
     / ``head_steps`` / ``tail_chunks`` forwarded via kwargs).
     ``coarse_factor > 0`` runs the cone-traced prepass
     (:func:`_cone_prepass`, one cone per ``factor^2`` pixel block) and
-    starts every fine ray at its block's certified-safe depth — sampling
-    semantics are unchanged, rays just skip the provably empty interior.
+    starts every fine ray at its block's certified-safe depth — rays skip
+    the provably empty interior, so hits are a superset of the plain
+    march's (never fewer) and converged depths agree within the
+    convergence threshold (see :func:`sphere_trace`).
     ``cone_steps`` caps the cone march budget (shallower but cheaper
     certified starts; see :func:`_cone_prepass`)."""
     origins, dirs = camera_rays(camera)
-    t_init = t_valid_from = sort_key = None
+    t_init = t_valid_from = sort_key = cert_miss = None
     if coarse_factor and camera.width % coarse_factor == 0 \
             and camera.height % coarse_factor == 0:
         thresh = (0.25 * sdf.resolution if surface_threshold is None
                   else float(surface_threshold))
-        t_init, t_valid_from, cone_slow = _cone_prepass(
+        t_init, t_valid_from, cone_slow, cert_miss = _cone_prepass(
             sdf, camera, coarse_factor, num_steps, thresh, max_depth,
             corner_table, max_cone_steps=cone_steps)
+        # The certified start is CONTROL data, not a differentiable
+        # quantity: within the certified-empty interval the march result
+        # does not depend on where it starts, so the true gradient of the
+        # depth w.r.t. voxels THROUGH t_init is zero — and the cone march
+        # is a while_loop, which reverse-mode AD can't traverse anyway.
+        t_init = lax.stop_gradient(t_init)
+        t_valid_from = lax.stop_gradient(t_valid_from)
+        cone_slow = lax.stop_gradient(cone_slow)
+        cert_miss = lax.stop_gradient(cert_miss)
         if trace_kwargs.get("head_steps", 8) == 0:
             # head_steps=0 skips ALL full-width fine steps; the tail sort
             # then clusters slow rays by their block cone's own SLOWNESS
@@ -550,13 +679,44 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
             # edge-discontinuity key misclassified enough rays to measure
             # SLOWER than head=1; BASELINE.md round-3 sweep).
             sort_key = cone_slow
+    if (early_exit and sort_key is not None
+            and trace_kwargs.get("tail_chunks", 8) > 1):
+        # Block-tail schedule: relayout rays BLOCK-major (each cone's
+        # f x f pixels contiguous) so the tail compaction can sort and
+        # permute whole cone blocks (`sort_block`) instead of single rays,
+        # and retire miss-certified rays without marching them. Outputs
+        # are relayouted back — semantics identical, the permute cost
+        # drops ~f^2-fold and certified-miss blocks never enter the tail.
+        f = int(coarse_factor)
+        hb, wb = camera.height // f, camera.width // f
+
+        def to_blocks(x):
+            rest = x.shape[2:]
+            return x.reshape(hb, f, wb, f, *rest).swapaxes(1, 2) \
+                .reshape(hb * wb * f * f, *rest)
+
+        def from_blocks(x):
+            rest = x.shape[1:]
+            return x.reshape(hb, wb, f, f, *rest).swapaxes(1, 2) \
+                .reshape(camera.height, camera.width, *rest)
+
+        result = sphere_trace(
+            sdf, to_blocks(origins), to_blocks(dirs), num_steps=num_steps,
+            max_depth=max_depth, surface_threshold=surface_threshold,
+            corner_table=corner_table, early_exit=True, mip=mip,
+            t_init=to_blocks(t_init),
+            t_init_valid_from=to_blocks(t_valid_from),
+            sort_key=to_blocks(sort_key),
+            certified_miss=to_blocks(cert_miss),
+            sort_block=f * f, **trace_kwargs)
+        return RenderResult(*(from_blocks(v) for v in result))
     return sphere_trace(sdf, origins, dirs, num_steps=num_steps,
                         max_depth=max_depth,
                         surface_threshold=surface_threshold,
                         corner_table=corner_table, early_exit=early_exit,
                         mip=mip, t_init=t_init,
                         t_init_valid_from=t_valid_from, sort_key=sort_key,
-                        **trace_kwargs)
+                        certified_miss=cert_miss, **trace_kwargs)
 
 
 def render_occupancy_image(sdf: SignedDistanceField, camera: PinholeCamera,

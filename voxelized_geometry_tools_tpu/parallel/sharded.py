@@ -274,7 +274,7 @@ def sharded_render_depth(sdf: SignedDistanceField,
         # The cone prepass is tiny (rays / factor^2) — run it replicated
         # and shard the resulting per-pixel start depths with the rays.
         thresh = 0.25 * sdf.resolution
-        t_init, t_valid_from, cone_slow = render_ops._cone_prepass(
+        t_init, t_valid_from, cone_slow, _ = render_ops._cone_prepass(
             sdf, camera, coarse_factor, num_steps, thresh, max_depth,
             corner_table, max_cone_steps=cone_steps)
         if head_steps == 0:
