@@ -50,42 +50,54 @@ def main():
 
     schedules = [
         dict(coarse_factor=4, head_steps=1, tail_chunks=64),  # shipped
+        dict(coarse_factor=4, head_steps=2, tail_chunks=64),  # round-2 best
+        dict(coarse_factor=8, head_steps=1, tail_chunks=64),
         dict(coarse_factor=4, head_steps=0, tail_chunks=64),
         dict(coarse_factor=4, head_steps=0, tail_chunks=32),
-        dict(coarse_factor=4, head_steps=0, tail_chunks=96),
         dict(coarse_factor=8, head_steps=0, tail_chunks=64),
-        dict(coarse_factor=4, head_steps=0, tail_chunks=64, cone_steps=48),
+        dict(coarse_factor=4, head_steps=0, tail_chunks=64, cone_steps=32),
+        dict(coarse_factor=4, head_steps=1, tail_chunks=64, cone_steps=32),
+        dict(coarse_factor=8, head_steps=1, tail_chunks=64, cone_steps=32),
     ]
     all_results = {}
     for focal in (520.0, 600.0):
         cam = render.PinholeCamera.create(pose, 640, 480, focal=focal)
         rays = 640 * 480
-        ref_depth = None
+        # Equivalence oracle: the plain (no-cone) early-exit march. A
+        # working prepass is hit-superset + depth-within-2*thresh, not
+        # bitwise (BASELINE.md round-3 discovery section).
+        base_fn = jax.jit(lambda d, t: render.render_depth(
+            sdf.replace(distances=d), cam, num_steps=64,
+            corner_table=t, early_exit=True))
+        b = base_fn(sdf.distances, table)
+        _force(b.depth)
+        base_hit = np.asarray(b.hit)
+        base_depth = np.asarray(b.depth)
         results = []
         for sched in schedules:
             fn = jax.jit(lambda d, t, s=tuple(sorted(sched.items())):
                          render.render_depth(
                              sdf.replace(distances=d), cam, num_steps=64,
                              corner_table=t, early_exit=True,
-                             **dict(s)).depth)
-            depth = fn(sdf.distances, table)
-            _force(depth)
+                             **dict(s)))
+            r = fn(sdf.distances, table)
+            _force(r.depth)
             t0 = time.monotonic()
             for _ in range(10):
-                depth = fn(sdf.distances, table)
-            _force(depth)
+                r = fn(sdf.distances, table)
+            _force(r.depth)
             dt = (time.monotonic() - t0) / 10
-            d_np = np.asarray(depth)
-            if ref_depth is None:
-                ref_depth = d_np
-                exact = True
-            else:
-                exact = bool(np.array_equal(ref_depth, d_np))
+            hit = np.asarray(r.hit)
+            skipped = int((base_hit & ~hit).sum())
+            m = base_hit & hit
+            dmax = float(np.abs(np.asarray(r.depth)[m]
+                                - base_depth[m]).max()) if m.any() else 0.0
             results.append({**sched, "ms": dt * 1e3,
-                            "mrays": rays / dt / 1e6, "exact": exact})
+                            "mrays": rays / dt / 1e6,
+                            "skipped_hits": skipped, "max_ddepth": dmax})
             print(f"focal={focal} {sched}: {dt*1e3:.1f} ms "
-                  f"({rays/dt/1e6:.2f} M rays/s) exact={exact}",
-                  flush=True)
+                  f"({rays/dt/1e6:.2f} M rays/s) skipped={skipped} "
+                  f"max_dd={dmax:.2e}", flush=True)
         all_results[focal] = results
     print(json.dumps(all_results))
 

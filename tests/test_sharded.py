@@ -161,6 +161,37 @@ def test_sharded_render_cone_and_sorted_tail_matches(mesh8):
             <= (np.asarray(multi) < 99.0)).all()
 
 
+def test_sharded_render_blocktail_cert_miss_matches(mesh8):
+    """head_steps=0 through the sharded renderer: the cone-slowness sort
+    key and the escape (certified-miss) retirement are threaded per shard.
+    Chunk/shard assignment never changes a ray's sample sequence, so the
+    sharded result equals the single-device block-tail render exactly."""
+    from voxelized_geometry_tools_tpu.ops import sdf_query
+    import voxelized_geometry_tools_tpu.ops.render as render_ops
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    table = sdf_query.build_corner_table(sdf)
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    camera = render.PinholeCamera.create(pose, width=24, height=32,
+                                         focal=20.0)
+    single = render.render_depth(sdf, camera, num_steps=32,
+                                 corner_table=table, early_exit=True,
+                                 head_steps=0, tail_chunks=4,
+                                 coarse_factor=2).depth
+    multi = sharded.sharded_render_depth(
+        sdf, camera, mesh8, num_steps=32, corner_table=table,
+        early_exit=True, head_steps=0, tail_chunks=4, coarse_factor=2)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-5)
+    # The escape certificate must actually fire on this frame (most rays
+    # fly past the small box), or the test is vacuous.
+    _, _, _, esc = render_ops._cone_prepass(
+        sdf, camera, 2, 32, 0.25 * sdf.resolution, 100.0, table)
+    assert float(np.asarray(esc).mean()) > 0.1
+
+
 def test_sharded_column_carve_matches(mesh8):
     """Column-marching carve under shard_map equals the single-device walk
     bit-for-bit (the determinism contract extends to the new carve)."""

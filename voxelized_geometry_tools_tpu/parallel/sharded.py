@@ -268,23 +268,30 @@ def sharded_render_depth(sdf: SignedDistanceField,
             f"{camera.height}")
     origins, dirs = render_ops.camera_rays(camera)
 
-    t_init = t_valid_from = sort_key = None
+    t_init = t_valid_from = sort_key = cert_miss = None
     if coarse_factor and camera.width % coarse_factor == 0 \
             and camera.height % (coarse_factor * n_shards) == 0:
         # The cone prepass is tiny (rays / factor^2) — run it replicated
         # and shard the resulting per-pixel start depths with the rays.
+        # Outputs are control data (ops/render.py): stop_gradient'ed.
         thresh = 0.25 * sdf.resolution
-        t_init, t_valid_from, cone_slow, _ = render_ops._cone_prepass(
-            sdf, camera, coarse_factor, num_steps, thresh, max_depth,
-            corner_table, max_cone_steps=cone_steps)
+        t_init, t_valid_from, cone_slow, cert_miss = \
+            render_ops._cone_prepass(
+                sdf, camera, coarse_factor, num_steps, thresh, max_depth,
+                corner_table, max_cone_steps=cone_steps)
+        t_init = jax.lax.stop_gradient(t_init)
+        t_valid_from = jax.lax.stop_gradient(t_valid_from)
+        cert_miss = jax.lax.stop_gradient(cert_miss)
         if head_steps == 0:
-            sort_key = cone_slow
+            sort_key = jax.lax.stop_gradient(cone_slow)
+        else:
+            cert_miss = cert_miss if early_exit else None
 
     table_rows = corner_table.rows if corner_table is not None else None
 
     def local_render(local_origins, local_dirs, distances, rows=None,
                      local_t_init=None, local_t_valid=None,
-                     local_sort_key=None):
+                     local_sort_key=None, local_cert_miss=None):
         local_sdf = sdf.replace(distances=distances)
         table = None
         if rows is not None:
@@ -295,7 +302,7 @@ def sharded_render_depth(sdf: SignedDistanceField,
             max_depth=max_depth, corner_table=table, early_exit=early_exit,
             head_steps=head_steps, tail_chunks=tail_chunks,
             t_init=local_t_init, t_init_valid_from=local_t_valid,
-            sort_key=local_sort_key)
+            sort_key=local_sort_key, certified_miss=local_cert_miss)
         return result.depth
 
     args = [origins, dirs, sdf.distances]
@@ -303,6 +310,7 @@ def sharded_render_depth(sdf: SignedDistanceField,
     has_rows = table_rows is not None
     has_tinit = t_init is not None
     has_key = sort_key is not None
+    has_miss = cert_miss is not None and early_exit
     if has_rows:
         args.append(table_rows)
         specs.append(P())
@@ -312,15 +320,22 @@ def sharded_render_depth(sdf: SignedDistanceField,
     if has_key:
         args.append(sort_key)
         specs.append(P(axis_name))
+    if has_miss:
+        args.append(cert_miss)
+        specs.append(P(axis_name))
 
     def fn(o, d, dist, *extra):
         rows = extra[0] if has_rows else None
         rest = extra[1:] if has_rows else extra
         t_i = rest[0] if has_tinit else None
         t_v = rest[1] if has_tinit else None
-        s_k = rest[-1] if has_key else None
+        rest = rest[2:] if has_tinit else rest
+        s_k = rest[0] if has_key else None
+        rest = rest[1:] if has_key else rest
+        c_m = rest[0] if has_miss else None
         return local_render(o, d, dist, rows=rows, local_t_init=t_i,
-                            local_t_valid=t_v, local_sort_key=s_k)
+                            local_t_valid=t_v, local_sort_key=s_k,
+                            local_cert_miss=c_m)
 
     mapped = shard_map(fn, mesh=mesh, in_specs=tuple(specs),
                        out_specs=P(axis_name))
