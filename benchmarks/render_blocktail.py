@@ -58,6 +58,14 @@ def main():
         dict(coarse_factor=4, head_steps=0, tail_chunks=64, cone_steps=32),
         dict(coarse_factor=4, head_steps=1, tail_chunks=64, cone_steps=32),
         dict(coarse_factor=8, head_steps=1, tail_chunks=64, cone_steps=32),
+        dict(coarse_factor=16, head_steps=1, tail_chunks=64),
+        dict(coarse_factor=16, head_steps=0, tail_chunks=64),
+        dict(coarse_factor=4, head_steps=1, tail_chunks=64,
+             cone_tail_chunks=8),
+        dict(coarse_factor=4, head_steps=0, tail_chunks=64,
+             cone_tail_chunks=8),
+        dict(coarse_factor=8, head_steps=1, tail_chunks=64,
+             cone_tail_chunks=8),
     ]
     all_results = {}
     for focal in (520.0, 600.0):

@@ -261,6 +261,34 @@ def test_cone_prepass_headless_tail(sphere_sdf, corner_table):
                                   np.asarray(headless.hit))
 
 
+@pytest.mark.parametrize("chunks", [3, 8])
+def test_cone_tail_chunking_bitwise_invariant(sphere_sdf, corner_table,
+                                              chunks):
+    """The chunked cone tail never changes a cone's sample sequence, so
+    all four prepass outputs must be BITWISE identical for any chunk
+    count (including non-dividing ones — padding is dead lanes)."""
+    cam = _camera(sphere_sdf, w=48, h=32)
+    ref = render._cone_prepass(
+        sphere_sdf, cam, 4, 64, 0.25 * sphere_sdf.resolution, 100.0,
+        corner_table)
+    out = render._cone_prepass(
+        sphere_sdf, cam, 4, 64, 0.25 * sphere_sdf.resolution, 100.0,
+        corner_table, cone_tail_chunks=chunks)
+    for a, b, name in zip(ref, out, ["t", "valid_from", "slow", "esc"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    # End-to-end render with the chunked cone is identical too.
+    r1 = render.render_depth(sphere_sdf, cam, num_steps=64,
+                             corner_table=corner_table, early_exit=True,
+                             coarse_factor=4, head_steps=1, tail_chunks=8)
+    r2 = render.render_depth(sphere_sdf, cam, num_steps=64,
+                             corner_table=corner_table, early_exit=True,
+                             coarse_factor=4, head_steps=1, tail_chunks=8,
+                             cone_tail_chunks=chunks)
+    np.testing.assert_array_equal(np.asarray(r1.depth),
+                                  np.asarray(r2.depth))
+
+
 def test_cone_prepass_gradients_flow(sphere_sdf, corner_table):
     """Reverse-mode AD must work through the cone-started scan march: the
     certified start is control data (stop_gradient — the depth's true

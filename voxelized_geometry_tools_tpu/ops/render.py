@@ -460,7 +460,8 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
                   factor: int, num_steps: int,
                   surface_threshold: float, max_depth: float,
                   corner_table: Optional[sdf_query.CornerTable],
-                  max_cone_steps: Optional[int] = None) -> Array:
+                  max_cone_steps: Optional[int] = None,
+                  cone_tail_chunks: int = 1) -> Array:
     """Cone-traced coarse pass: one ray per ``factor x factor`` pixel block,
     advanced only while the SDF sample exceeds the cone radius — so the
     returned per-block depth ``T`` certifies that NO fine ray in the block
@@ -497,6 +498,13 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     unaffected), the fine tail just marches a little further — a knob to
     trade the full-width cone while_loop (which silhouette cones otherwise
     drag to ``num_steps``) against the sorted, chunked fine tail.
+
+    ``cone_tail_chunks > 1`` applies the fine tail's own trick to the cone
+    march: after 8 full-width cone steps, still-alive cones are compacted
+    ordered by estimated remaining steps and the rest of the budget runs
+    in that many chunks — silhouette-grazing cones (eps-floor crawlers)
+    share a chunk instead of dragging every step to full width. Results
+    are bitwise identical for any chunk count.
     """
     f = int(factor)
     wc, hc = camera.width // f, camera.height // f
@@ -589,29 +597,95 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     budget = num_steps if max_cone_steps is None \
         else min(int(max_cone_steps), num_steps)
 
-    def cond(state):
-        i, _, alive, _, _ = state
-        return (i < budget) & jnp.any(alive)
+    def cone_march(state0, o, c, tt, tx, steps):
+        """March cones while safe; per-cone sequences are independent of
+        which cones share the loop, so any chunking is result-invariant."""
+        def cond(state):
+            i, _, alive = state[0], state[1], state[2]
+            return (i < steps) & jnp.any(alive)
 
-    def body(state):
-        i, t, alive, used, escaped = state
-        q = sample(origins + center * t[..., None])
-        r = tan_t * t + margin
-        safe = q.valid & (q.value > r)
-        step = jnp.maximum((q.value - r) / (1.0 + tan_t), eps)
-        t_new = jnp.where(alive & safe, t + step, t)
-        alive_new = alive & safe & (t_new < t_exit_c)
-        # Escape: the cone crossed the grid-exit depth while STILL safe —
-        # the certified interval now covers its entire in-grid path.
-        escaped_new = escaped | (alive & safe & (t_new >= t_exit_c))
-        used_new = jnp.where(alive, used + 1.0, used)
-        return i + 1, t_new, alive_new, used_new, escaped_new
+        def body(state):
+            i, t, alive, used, escaped, d_prev, d_cur = state
+            q = sample(o + c * t[..., None])
+            r = tt * t + margin
+            safe = q.valid & (q.value > r)
+            step = jnp.maximum((q.value - r) / (1.0 + tt), eps)
+            t_new = jnp.where(alive & safe, t + step, t)
+            alive_new = alive & safe & (t_new < tx)
+            # Escape: the cone crossed the grid-exit depth while STILL
+            # safe — the certified interval now covers its entire in-grid
+            # path.
+            escaped_new = escaped | (alive & safe & (t_new >= tx))
+            used_new = jnp.where(alive, used + 1.0, used)
+            d_prev = jnp.where(alive, d_cur, d_prev)
+            d_cur = jnp.where(alive, q.value, d_cur)
+            return (i + 1, t_new, alive_new, used_new, escaped_new,
+                    d_prev, d_cur)
+
+        return lax.while_loop(cond, body, state0)
 
     alive0 = hits_c & (t_start < t_exit_c)
-    _, t_cone, alive_end, used, escaped = lax.while_loop(
-        cond, body,
+    big = jnp.float32(1e30)
+    d0 = t_start * 0.0 + big
+    k_cone = int(cone_tail_chunks)
+    head = budget if k_cone <= 1 else min(8, budget)
+    _, t_cone, alive_end, used, escaped, d_prev, d_cur = cone_march(
         (jnp.int32(0), t_start, alive0, jnp.zeros_like(t_start),
-         jnp.zeros_like(alive0)))
+         jnp.zeros_like(alive0), d0, d0),
+        origins, center, tan_t, t_exit_c, head)
+
+    if k_cone > 1 and budget > head:
+        # Chunked cone tail — the fine tail's trick applied to the cone
+        # march itself: silhouette-grazing cones crawl at the eps floor
+        # and otherwise drag the full-width while_loop to ``budget``.
+        # Compact cones ordered by estimated remaining steps and march
+        # ``k_cone`` chunks under lax.map; all-dead chunks cost one alive
+        # check. Bit-result-invariant (per-cone sequences unchanged).
+        n = hc * wc
+        pad = (-n) % k_cone
+        chunk = (n + pad) // k_cone
+
+        def flat_pad(x, fill):
+            x = x.reshape((n,) + x.shape[2:])
+            cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, cfg, constant_values=fill)
+
+        alive_f = flat_pad(alive_end, False)
+        decay = flat_pad(d_prev - d_cur, 0.0)
+        est = flat_pad(d_cur, 0.0) / jnp.maximum(decay, eps)
+        key = jnp.where(alive_f, est, jnp.float32(3e30))
+        order = jnp.argsort(key, stable=True)
+        arrs = [flat_pad(t_cone, 0.0), alive_f, flat_pad(used, 0.0),
+                flat_pad(escaped, False), flat_pad(d_prev, big),
+                flat_pad(d_cur, big), flat_pad(origins, 0.0),
+                flat_pad(center, 0.0), flat_pad(tan_t, 0.0),
+                flat_pad(t_exit_c, 0.0)]
+        (t_s, al_s, us_s, es_s, dp_s, dc_s,
+         o_s, c_s, tt_s, tx_s) = [a[order] for a in arrs]
+
+        def march_chunk(args):
+            t_c, al_c, us_c, es_c, dp_c, dc_c, o_c, c_c, tt_c, tx_c = args
+            _, t_o, al_o, us_o, es_o, _, _ = cone_march(
+                (jnp.int32(0), t_c, al_c, us_c, es_c, dp_c, dc_c),
+                o_c, c_c, tt_c, tx_c, budget - head)
+            return t_o, al_o, us_o, es_o
+
+        t_o, al_o, us_o, es_o = lax.map(march_chunk, (
+            t_s.reshape(k_cone, chunk), al_s.reshape(k_cone, chunk),
+            us_s.reshape(k_cone, chunk), es_s.reshape(k_cone, chunk),
+            dp_s.reshape(k_cone, chunk), dc_s.reshape(k_cone, chunk),
+            o_s.reshape(k_cone, chunk, 3), c_s.reshape(k_cone, chunk, 3),
+            tt_s.reshape(k_cone, chunk), tx_s.reshape(k_cone, chunk)))
+
+        def unsort(x, dtype):
+            flat = jnp.zeros((n + pad,), dtype).at[order].set(
+                x.reshape(-1))
+            return flat[:n].reshape(hc, wc)
+
+        t_cone = unsort(t_o, t_cone.dtype)
+        alive_end = unsort(al_o, jnp.bool_)
+        used = unsort(us_o, used.dtype)
+        escaped = unsort(es_o, jnp.bool_)
     t_cone = jnp.where(hits_c, t_cone, 0.0)
     valid_from = jnp.where(hits_c, t_start, jnp.float32(jnp.inf))
     # Blocks whose center ray misses the grid entirely are also certified
@@ -638,6 +712,7 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                  mip: Optional[SdfMip] = None,
                  coarse_factor: int = 0,
                  cone_steps: Optional[int] = None,
+                 cone_tail_chunks: int = 1,
                  **trace_kwargs) -> RenderResult:
     """Render an ``[H, W]`` depth image (differentiable in ``sdf.distances``
     and ``camera.pose``). See :func:`sphere_trace` for the performance
@@ -650,7 +725,9 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
     march's (never fewer) and converged depths agree within the
     convergence threshold (see :func:`sphere_trace`).
     ``cone_steps`` caps the cone march budget (shallower but cheaper
-    certified starts; see :func:`_cone_prepass`)."""
+    certified starts) and ``cone_tail_chunks > 1`` runs the cone march
+    itself with a sorted chunked tail (bitwise-identical certificates;
+    see :func:`_cone_prepass`)."""
     origins, dirs = camera_rays(camera)
     t_init = t_valid_from = sort_key = cert_miss = None
     if coarse_factor and camera.width % coarse_factor == 0 \
@@ -659,7 +736,8 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                   else float(surface_threshold))
         t_init, t_valid_from, cone_slow, cert_miss = _cone_prepass(
             sdf, camera, coarse_factor, num_steps, thresh, max_depth,
-            corner_table, max_cone_steps=cone_steps)
+            corner_table, max_cone_steps=cone_steps,
+            cone_tail_chunks=cone_tail_chunks)
         # The certified start is CONTROL data, not a differentiable
         # quantity: within the certified-empty interval the march result
         # does not depend on where it starts, so the true gradient of the
