@@ -251,7 +251,8 @@ def sharded_render_depth(sdf: SignedDistanceField,
                          head_steps: int = 8,
                          tail_chunks: int = 8,
                          coarse_factor: int = 0,
-                         cone_steps: Optional[int] = None) -> Array:
+                         cone_steps: Optional[int] = None,
+                         cone_tail_chunks: int = 1) -> Array:
     """Render with pixel rows sharded across devices (grid replicated).
     Returns the ``[H, W]`` depth image.
 
@@ -278,7 +279,8 @@ def sharded_render_depth(sdf: SignedDistanceField,
         t_init, t_valid_from, cone_slow, cert_miss = \
             render_ops._cone_prepass(
                 sdf, camera, coarse_factor, num_steps, thresh, max_depth,
-                corner_table, max_cone_steps=cone_steps)
+                corner_table, max_cone_steps=cone_steps,
+                cone_tail_chunks=cone_tail_chunks)
         t_init = jax.lax.stop_gradient(t_init)
         t_valid_from = jax.lax.stop_gradient(t_valid_from)
         cert_miss = jax.lax.stop_gradient(cert_miss)
