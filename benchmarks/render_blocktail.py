@@ -107,6 +107,47 @@ def main():
                   f"({rays/dt/1e6:.2f} M rays/s) skipped={skipped} "
                   f"max_dd={dmax:.2e}", flush=True)
         all_results[focal] = results
+
+    # Batched multi-view: 4 cameras in ONE march (render_depth_batch,
+    # head=0 block-tail) vs 4 sequential per-view calls. Round-2 found
+    # naive batching SLOWER (full-width wave couples to the worst ray);
+    # the block-tail schedule has no full-width phase to couple.
+    cams = []
+    for dx, dz in [(0.0, 1.2), (0.5, 1.4), (-0.5, 1.3), (0.2, 1.6)]:
+        p = np.eye(4, dtype=np.float32)
+        p[:3, 3] = (size / 2 + dx, size / 2, -dz * size)
+        cams.append(render.PinholeCamera.create(p, 640, 480, focal=520.0))
+    batched_cams = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+    bfn = jax.jit(lambda d, t: render.render_depth_batch(
+        sdf.replace(distances=d), batched_cams, num_steps=64,
+        corner_table=t, coarse_factor=4, tail_chunks=64).depth)
+    out = bfn(sdf.distances, table)
+    _force(out)
+    t0 = time.monotonic()
+    for _ in range(10):
+        out = bfn(sdf.distances, table)
+    _force(out)
+    batch_dt = (time.monotonic() - t0) / 10
+    sfn = jax.jit(lambda d, t, c: render.render_depth(
+        sdf.replace(distances=d), c, num_steps=64, corner_table=t,
+        early_exit=True, coarse_factor=4, head_steps=0,
+        tail_chunks=64).depth)
+    for c in cams:
+        _force(sfn(sdf.distances, table, c))
+    t0 = time.monotonic()
+    for _ in range(10):
+        for c in cams:
+            out = sfn(sdf.distances, table, c)
+    _force(out)
+    seq_dt = (time.monotonic() - t0) / 10
+    n4 = 4 * 640 * 480
+    all_results["batch4"] = {
+        "batched_ms": batch_dt * 1e3, "batched_mrays": n4 / batch_dt / 1e6,
+        "sequential_ms": seq_dt * 1e3, "seq_mrays": n4 / seq_dt / 1e6}
+    print(f"batch4: one-march {batch_dt*1e3:.1f} ms "
+          f"({n4/batch_dt/1e6:.2f} M rays/s) vs sequential "
+          f"{seq_dt*1e3:.1f} ms ({n4/seq_dt/1e6:.2f} M rays/s)",
+          flush=True)
     print(json.dumps(all_results))
 
 

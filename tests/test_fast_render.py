@@ -322,6 +322,31 @@ def test_cone_prepass_scan_path(sphere_sdf, corner_table):
                                np.asarray(base.depth), atol=1e-6)
 
 
+def test_render_depth_batch_matches_per_view(sphere_sdf, corner_table):
+    """One-march multi-camera rendering: per-ray sample sequences equal the
+    per-view block-tail render, so depths are bitwise identical view by
+    view."""
+    sizes = np.asarray(sphere_sdf.spec.grid_sizes)
+    cams = []
+    for dx, dz in [(0.0, 1.5), (0.3, 1.8), (-0.4, 1.2)]:
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = sizes / 2.0 - np.array([dx, 0.0, dz * sizes[2]])
+        cams.append(render.PinholeCamera.create(pose, 32, 24, focal=30.0))
+    batched = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+    out = render.render_depth_batch(
+        sphere_sdf, batched, num_steps=48, corner_table=corner_table,
+        coarse_factor=4, tail_chunks=8)
+    assert out.depth.shape == (3, 24, 32)
+    for i, cam in enumerate(cams):
+        single = render.render_depth(
+            sphere_sdf, cam, num_steps=48, corner_table=corner_table,
+            early_exit=True, coarse_factor=4, head_steps=0, tail_chunks=8)
+        np.testing.assert_array_equal(np.asarray(out.depth[i]),
+                                      np.asarray(single.depth))
+        np.testing.assert_array_equal(np.asarray(out.hit[i]),
+                                      np.asarray(single.hit))
+
+
 def test_block_tail_miss_certificate(sphere_sdf, corner_table):
     """The head_steps=0 block-tail schedule retires rays whose block cone
     ESCAPED the grid still-safe (a proof that no surface lies anywhere on

@@ -797,6 +797,77 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                         certified_miss=cert_miss, **trace_kwargs)
 
 
+def render_depth_batch(sdf: SignedDistanceField, cameras: PinholeCamera,
+                       num_steps: int = 64, max_depth: float = 100.0,
+                       surface_threshold: Optional[float] = None,
+                       corner_table: Optional[sdf_query.CornerTable] = None,
+                       coarse_factor: int = 4,
+                       cone_steps: Optional[int] = None,
+                       cone_tail_chunks: int = 1,
+                       tail_chunks: int = 64,
+                       **trace_kwargs) -> RenderResult:
+    """Render ``B`` views in ONE march — a :class:`PinholeCamera` whose
+    array leaves carry a leading batch axis (``pose [B,4,4]``, ``fx [B]``,
+    ...; build with ``jax.tree.map(lambda *x: jnp.stack(x), *cams)``).
+    Returns a :class:`RenderResult` of ``[B, H, W]`` images.
+
+    Multi-camera rigs are the production shape of this library's domain
+    (the reference fuses 2-8 depth cameras per cycle). Naive view batching
+    through :func:`sphere_trace` measures SLOWER than per-view calls (the
+    full-width early-exit wave couples to the worst ray across all views —
+    BASELINE.md round-2 finding d). This path avoids that coupling by
+    construction: the cone prepass runs per view (vmapped — cones are
+    ``rays/factor^2``), then ALL fine rays march under the block-tail
+    schedule (``head_steps=0``), where the slowness-sorted chunks
+    specialize by view automatically and there is no full-width phase to
+    couple. Per-ray sample sequences equal the per-view
+    :func:`render_depth` exactly.
+
+    Inference-only (``early_exit``). ``coarse_factor`` must divide both
+    image dimensions.
+    """
+    if not (coarse_factor and cameras.width % coarse_factor == 0
+            and cameras.height % coarse_factor == 0):
+        raise ValueError("render_depth_batch requires coarse_factor "
+                         "dividing the image dimensions")
+    f = int(coarse_factor)
+    h, w = cameras.height, cameras.width
+    hb, wb = h // f, w // f
+    thresh = (0.25 * sdf.resolution if surface_threshold is None
+              else float(surface_threshold))
+
+    origins, dirs = jax.vmap(camera_rays)(cameras)        # [B,H,W,3]
+    t_init, t_valid_from, cone_slow, cert_miss = jax.vmap(
+        lambda c: _cone_prepass(sdf, c, f, num_steps, thresh, max_depth,
+                                corner_table, max_cone_steps=cone_steps,
+                                cone_tail_chunks=cone_tail_chunks))(cameras)
+    t_init = lax.stop_gradient(t_init)
+    t_valid_from = lax.stop_gradient(t_valid_from)
+    sort_key = lax.stop_gradient(cone_slow)
+    cert_miss = lax.stop_gradient(cert_miss)
+    b = t_init.shape[0]
+
+    def to_blocks(x):
+        rest = x.shape[3:]
+        return x.reshape(b, hb, f, wb, f, *rest).swapaxes(2, 3) \
+            .reshape(b * hb * wb * f * f, *rest)
+
+    def from_blocks(x):
+        rest = x.shape[1:]
+        return x.reshape(b, hb, wb, f, f, *rest).swapaxes(2, 3) \
+            .reshape(b, h, w, *rest)
+
+    result = sphere_trace(
+        sdf, to_blocks(origins), to_blocks(dirs), num_steps=num_steps,
+        max_depth=max_depth, surface_threshold=surface_threshold,
+        corner_table=corner_table, early_exit=True,
+        head_steps=0, tail_chunks=tail_chunks,
+        t_init=to_blocks(t_init), t_init_valid_from=to_blocks(t_valid_from),
+        sort_key=to_blocks(sort_key), certified_miss=to_blocks(cert_miss),
+        sort_block=f * f, **trace_kwargs)
+    return RenderResult(*(from_blocks(v) for v in result))
+
+
 def render_occupancy_image(sdf: SignedDistanceField, camera: PinholeCamera,
                            num_steps: int = 64, max_depth: float = 100.0,
                            softness: float = 1.0) -> Array:
