@@ -76,18 +76,24 @@ def run(n, streaming=True, slab=128, do_render=True):
 
     if do_render:
         from voxelized_geometry_tools_tpu.core.maps import SignedDistanceField
+        from voxelized_geometry_tools_tpu.ops import sdf_query
         sdf = SignedDistanceField.create(spec, values, locked=True)
         size = n * res
         pose = np.eye(4, dtype=np.float32)
         pose[:3, 3] = (size / 2, size / 2, -1.2 * size)
         cam = render.PinholeCamera.create(pose, 640, 480, focal=600.0)
+        rays = 640 * 480
 
-        def render_fn(s):
+        # Two sample paths at large n: the raw 8-gather path (no extra
+        # memory) and the z-pair table (2x grid memory, 4 gathers/sample —
+        # an 8x corner BRICK table is 34 GiB at 1024^3 and cannot fit, but
+        # grid + pair table is ~13 GiB and does).
+        def render_raw(s):
             return render.render_depth(
                 s, cam, num_steps=96, early_exit=True, coarse_factor=4,
-                head_steps=2, tail_chunks=64).depth
+                head_steps=1, tail_chunks=64).depth
 
-        fn = jax.jit(render_fn)
+        fn = jax.jit(render_raw)
         t0 = time.monotonic()
         depth = fn(sdf)
         _force(depth)
@@ -96,11 +102,32 @@ def run(n, streaming=True, slab=128, do_render=True):
         depth = fn(sdf)
         _force(depth)
         dt = time.monotonic() - t0
-        rays = 640 * 480
         out["render_warm_s"] = dt
         out["render_rays_per_s"] = rays / dt
         print(f"n={n}: render (8-gather path) {dt * 1e3:.1f} ms "
               f"({rays / dt / 1e6:.2f} M rays/s)")
+        depth.delete()
+
+        pair = jax.jit(sdf_query.build_corner_pair_table)(sdf)
+        _force(pair.rows)
+
+        def render_pair(s, t):
+            return render.render_depth(
+                s, cam, num_steps=96, corner_table=t, early_exit=True,
+                coarse_factor=4, head_steps=1, tail_chunks=64).depth
+
+        pfn = jax.jit(render_pair)
+        depth = pfn(sdf, pair)
+        _force(depth)
+        t0 = time.monotonic()
+        depth = pfn(sdf, pair)
+        _force(depth)
+        dt = time.monotonic() - t0
+        out["render_pair_warm_s"] = dt
+        out["render_pair_rays_per_s"] = rays / dt
+        print(f"n={n}: render (z-pair table) {dt * 1e3:.1f} ms "
+              f"({rays / dt / 1e6:.2f} M rays/s)")
+        pair.rows.delete()
     return out
 
 

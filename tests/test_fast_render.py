@@ -48,6 +48,51 @@ def test_corner_table_exact_match(sphere_sdf, corner_table):
                                np.asarray(fast.value)[m], rtol=0, atol=1e-6)
 
 
+def test_corner_pair_table_bitwise_matches_brick(sphere_sdf, corner_table):
+    """The 4-gather z-pair table assembles the same 8-corner vector in the
+    same order as the 1-gather brick table, so query values must be
+    BITWISE identical everywhere (interior, edge extrapolation, OOB)."""
+    pair = sdf_query.build_corner_pair_table(sphere_sdf)
+    assert pair.rows.shape[-1] == 2
+    rng = np.random.default_rng(7)
+    hi = np.asarray(sphere_sdf.spec.grid_sizes)
+    pts = rng.uniform(-0.3, 1.0, size=(5000, 3)) * (hi + 0.6) - 0.3
+    pts = jnp.asarray(pts, jnp.float32)
+    brick = sdf_query.estimate_location_distance_fast(
+        sphere_sdf, corner_table, pts)
+    zpair = sdf_query.estimate_location_distance_fast(
+        sphere_sdf, pair, pts)
+    np.testing.assert_array_equal(np.asarray(brick.valid),
+                                  np.asarray(zpair.valid))
+    m = np.asarray(brick.valid)
+    np.testing.assert_array_equal(np.asarray(brick.value)[m],
+                                  np.asarray(zpair.value)[m])
+
+
+def test_corner_pair_table_render_matches(sphere_sdf, corner_table):
+    """Renders through the pair table match the brick-table renders within
+    the convergence threshold. (NOT bitwise: the written arithmetic is
+    identical, but XLA fuses the 4-gather and 1-gather programs
+    differently, and 1-ulp sample drift can flip a marginal silhouette ray
+    at the convergence boundary — the eager query-level comparison above
+    IS bitwise.)"""
+    pair = sdf_query.build_corner_pair_table(sphere_sdf)
+    cam = _camera(sphere_sdf, w=48, h=32)
+    atol = 2.0 * 0.25 * sphere_sdf.resolution + 1e-6
+    for kwargs in [dict(early_exit=True),
+                   dict(early_exit=True, coarse_factor=4, head_steps=0,
+                        tail_chunks=8)]:
+        a = render.render_depth(sphere_sdf, cam, num_steps=64,
+                                corner_table=corner_table, **kwargs)
+        bq = render.render_depth(sphere_sdf, cam, num_steps=64,
+                                 corner_table=pair, **kwargs)
+        ah, bh = np.asarray(a.hit), np.asarray(bq.hit)
+        assert (ah != bh).mean() < 0.02, "hit masks diverged beyond ulp flips"
+        m = ah & bh
+        np.testing.assert_allclose(np.asarray(a.depth)[m],
+                                   np.asarray(bq.depth)[m], atol=atol)
+
+
 def test_corner_table_nonfinite_points(sphere_sdf, corner_table):
     pts = jnp.asarray([[np.nan, 0.1, 0.1], [np.inf, 0.1, 0.1],
                        [0.1, 0.1, 0.1]], jnp.float32)

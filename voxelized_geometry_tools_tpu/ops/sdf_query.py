@@ -224,10 +224,56 @@ def build_corner_table(sdf: SignedDistanceField,
     return CornerTable(rows=rows)
 
 
+class CornerPairTable(NamedTuple):
+    """Z-pair acceleration rows: ``f32[num_cells, 2]`` where row
+    ``flat(b)`` holds the corrected distances at cells ``b`` and
+    ``b + (0,0,1)`` (z clamped to the grid edge).
+
+    The large-grid middle ground: 2x the grid's memory (a 1024^3
+    CornerTable is ~8x = 34 GB and exceeds single-chip HBM; the pair table
+    plus the grid fits v5e's 16 GB) and FOUR row gathers per trilinear
+    sample instead of the raw path's eight — TPU gathers are issue-bound,
+    so sample cost halves. The assembled 8-corner vector is ordered
+    identically to :class:`CornerTable` rows, so the written interpolation
+    arithmetic is the same — eager query values match the brick table bit
+    for bit; under jit, XLA may fuse the two programs differently (ulp-
+    level drift, renders agree within the convergence threshold)."""
+    rows: Array
+
+
+def build_corner_pair_table(sdf: SignedDistanceField,
+                            dtype=None) -> CornerPairTable:
+    """Build the z-pair table with pure shifts (no gathers), as a
+    ``fori_loop`` over X planes (a monolithic stack/reshape of the whole
+    grid hits the pathological XLA-TPU layout pass at large sizes — see
+    :func:`build_corner_table`)."""
+    d = jnp.asarray(sdf.distances)
+    dtype = d.dtype if dtype is None else jnp.dtype(dtype)
+    nx, ny, nz = d.shape
+    half = d.dtype.type(sdf.resolution * 0.5)
+    corrected = jnp.where(d >= 0.0, d - half, d + half)
+    padded = jnp.pad(corrected, ((0, 0), (0, 0), (0, 1)), mode="edge")
+
+    rows0 = jnp.zeros((nx * ny * nz, 2), dtype)
+
+    def body(x, rows):
+        pl = lax.dynamic_slice(padded, (x, 0, 0), (1, ny, nz + 1))[0]
+        plane_rows = jnp.stack([pl[:, :nz], pl[:, 1:]],
+                               axis=-1).reshape(ny * nz, 2)
+        return lax.dynamic_update_slice(rows, plane_rows.astype(dtype),
+                                        (x * ny * nz, 0))
+
+    rows = lax.fori_loop(0, nx, body, rows0)
+    return CornerPairTable(rows=rows)
+
+
 def estimate_location_distance_fast(sdf: SignedDistanceField,
-                                    table: CornerTable,
+                                    table,
                                     p_world: Array) -> DistanceQuery:
-    """`estimate_location_distance` semantics with ONE gather per sample.
+    """`estimate_location_distance` semantics with ONE gather per sample
+    (:class:`CornerTable`) or FOUR (:class:`CornerPairTable` — the
+    large-grid table; both assemble the identical 8-corner vector, so the
+    two tables return bit-identical values).
 
     Same interpolation as the 8-gather path up to float reassociation (see
     the base-index equivalence note above); differentiable in ``p_world`` and
@@ -252,8 +298,23 @@ def estimate_location_distance_fast(sdf: SignedDistanceField,
     t = s - b.astype(dt)
 
     ny, nz = spec.counts[1], spec.counts[2]
-    flat = b[..., 0] * (ny * nz) + b[..., 1] * nz + b[..., 2]
-    corners = table.rows[flat]  # [..., 8]
+    if isinstance(table, CornerPairTable):
+        # Four z-pair rows at (bx|bx+1, by|by+1, bz), x/y neighbors
+        # clamped onto the edge cell exactly as the brick build does.
+        bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+        bx1 = jnp.minimum(bx + 1, counts[0] - 1)
+        by1 = jnp.minimum(by + 1, counts[1] - 1)
+
+        def pair(x, y):
+            return table.rows[x * (ny * nz) + y * nz + bz]
+
+        # corners ordered c = 4*dx + 2*dy + dz — identical to CornerTable.
+        corners = jnp.concatenate(
+            [pair(bx, by), pair(bx, by1), pair(bx1, by), pair(bx1, by1)],
+            axis=-1)
+    else:
+        flat = b[..., 0] * (ny * nz) + b[..., 1] * nz + b[..., 2]
+        corners = table.rows[flat]  # [..., 8]
 
     tx = t[..., 0:1]
     ty = t[..., 1:2]

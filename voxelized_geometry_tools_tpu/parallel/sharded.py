@@ -297,8 +297,11 @@ def sharded_render_depth(sdf: SignedDistanceField,
         local_sdf = sdf.replace(distances=distances)
         table = None
         if rows is not None:
-            from ..ops.sdf_query import CornerTable
-            table = CornerTable(rows=rows)
+            from ..ops.sdf_query import CornerTable, CornerPairTable
+            # Row width identifies the table kind (8 = corner brick,
+            # 2 = large-grid z-pair table).
+            cls = CornerPairTable if rows.shape[-1] == 2 else CornerTable
+            table = cls(rows=rows)
         result = render_ops.sphere_trace(
             local_sdf, local_origins, local_dirs, num_steps=num_steps,
             max_depth=max_depth, corner_table=table, early_exit=early_exit,
