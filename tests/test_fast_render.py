@@ -69,6 +69,28 @@ def test_corner_pair_table_bitwise_matches_brick(sphere_sdf, corner_table):
                                   np.asarray(zpair.value)[m])
 
 
+def test_corner_pair_table_gradients_match(sphere_sdf):
+    """Voxel gradients through the pair-table query equal the 8-gather
+    path's (the table build is shifts only, so AD routes through it)."""
+    pts = jnp.asarray(np.random.default_rng(2).uniform(
+        0.2, 1.0, size=(64, 3)), jnp.float32)
+
+    def loss_slow(d):
+        s = sphere_sdf.replace(distances=d)
+        return jnp.nansum(sdf_query.estimate_location_distance(s, pts).value)
+
+    def loss_pair(d):
+        s = sphere_sdf.replace(distances=d)
+        t = sdf_query.build_corner_pair_table(s)
+        return jnp.nansum(
+            sdf_query.estimate_location_distance_fast(s, t, pts).value)
+
+    g_slow = jax.grad(loss_slow)(sphere_sdf.distances)
+    g_pair = jax.grad(loss_pair)(sphere_sdf.distances)
+    np.testing.assert_allclose(np.asarray(g_slow), np.asarray(g_pair),
+                               atol=1e-5)
+
+
 def test_corner_pair_table_render_matches(sphere_sdf, corner_table):
     """Renders through the pair table match the brick-table renders within
     the convergence threshold. (NOT bitwise: the written arithmetic is
