@@ -356,6 +356,28 @@ def test_cone_tail_chunking_bitwise_invariant(sphere_sdf, corner_table,
                                   np.asarray(r2.depth))
 
 
+def test_remat_march_gradients_match(sphere_sdf):
+    """remat=True recomputes march steps in the backward pass — values
+    and voxel gradients must equal the stored-activation path exactly.
+    The corner table is rebuilt INSIDE the loss (a table built outside
+    is a constant: no gradient would flow and the check would be 0≡0)."""
+    cam = _camera(sphere_sdf, w=24, h=16)
+    o, d = render.camera_rays(cam)
+
+    def loss(dists, rm):
+        s = sphere_sdf.replace(distances=dists)
+        t = sdf_query.build_corner_table(s)
+        r = render.sphere_trace(s, o, d, num_steps=24,
+                                corner_table=t, remat=rm)
+        return jnp.nansum(jnp.where(r.hit, r.depth, 0.0))
+
+    v0, g0 = jax.value_and_grad(loss)(sphere_sdf.distances, False)
+    v1, g1 = jax.value_and_grad(loss)(sphere_sdf.distances, True)
+    assert int((np.asarray(g0) != 0).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
+
+
 def test_cone_prepass_gradients_flow(sphere_sdf, corner_table):
     """Reverse-mode AD must work through the cone-started scan march: the
     certified start is control data (stop_gradient — the depth's true

@@ -169,7 +169,8 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  t_init_valid_from: Optional[Array] = None,
                  sort_key: Optional[Array] = None,
                  certified_miss: Optional[Array] = None,
-                 sort_block: int = 1) -> RenderResult:
+                 sort_block: int = 1,
+                 remat: bool = False) -> RenderResult:
     """Sphere-trace rays through an SDF grid.
 
     ``origins``/``dirs`` are ``[..., 3]`` world frame. The march advances each
@@ -438,6 +439,13 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             t, alive = carry
             return advance_once(t, alive), None
 
+        if remat:
+            # Rematerialize the march step in the backward pass: reverse-
+            # mode over the scan otherwise saves every step's gather
+            # indices + trilinear weights (~36 B/ray/step — ~0.7 GB for a
+            # 640x480x64 march, quadratic trouble at larger frames).
+            # Recomputing a step is one extra gather — cheap against HBM.
+            step = jax.checkpoint(step)
         (t_final, alive), _ = lax.scan(step, (t0, alive0), None,
                                        length=num_steps)
 
