@@ -302,12 +302,49 @@ def sharded_render_depth(sdf: SignedDistanceField,
             # 2 = large-grid z-pair table).
             cls = CornerPairTable if rows.shape[-1] == 2 else CornerTable
             table = cls(rows=rows)
+        trace_kwargs = {}
+        reshape_back = None
+        if (early_exit and local_sort_key is not None and tail_chunks > 1
+                and coarse_factor):
+            # Block-tail schedule inside the shard (mirrors
+            # ops/render.render_depth): relayout the shard's rays cone-
+            # block-major so the tail sorts/permutes whole f x f blocks
+            # (`sort_block`) — the permute cost drops ~f^2-fold and
+            # miss-certified blocks retire without marching. The shard
+            # owns whole pixel rows and f | local height (checked above),
+            # so every cone block is shard-local; semantics identical.
+            f = int(coarse_factor)
+            lh, lw = local_origins.shape[:2]
+            hb, wb = lh // f, lw // f
+
+            def to_blocks(x):
+                rest = x.shape[2:]
+                return x.reshape(hb, f, wb, f, *rest).swapaxes(1, 2) \
+                    .reshape(hb * wb * f * f, *rest)
+
+            def from_blocks(x):
+                rest = x.shape[1:]
+                return x.reshape(hb, wb, f, f, *rest).swapaxes(1, 2) \
+                    .reshape(lh, lw, *rest)
+
+            local_origins = to_blocks(local_origins)
+            local_dirs = to_blocks(local_dirs)
+            local_t_init = to_blocks(local_t_init)
+            local_t_valid = to_blocks(local_t_valid)
+            local_sort_key = to_blocks(local_sort_key)
+            if local_cert_miss is not None:
+                local_cert_miss = to_blocks(local_cert_miss)
+            trace_kwargs["sort_block"] = f * f
+            reshape_back = from_blocks
         result = render_ops.sphere_trace(
             local_sdf, local_origins, local_dirs, num_steps=num_steps,
             max_depth=max_depth, corner_table=table, early_exit=early_exit,
             head_steps=head_steps, tail_chunks=tail_chunks,
             t_init=local_t_init, t_init_valid_from=local_t_valid,
-            sort_key=local_sort_key, certified_miss=local_cert_miss)
+            sort_key=local_sort_key, certified_miss=local_cert_miss,
+            **trace_kwargs)
+        if reshape_back is not None:
+            return reshape_back(result.depth)
         return result.depth
 
     args = [origins, dirs, sdf.distances]
