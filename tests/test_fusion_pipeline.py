@@ -50,6 +50,28 @@ def test_fit_voxels_reduces_loss():
     assert refined.locked
 
 
+def test_fit_camera_pose_remat_matches():
+    """remat=True reaches the fitters through **render_kwargs and fits to
+    the same optimum. (Not bit-equal: XLA compiles the rematerialized
+    backward as a different program, so reduction orders in the pose-
+    tangent grad can differ at the last ulp.)"""
+    sdf, cams = make_scene()
+    target = render.render_depth(sdf, cams[0], num_steps=24).depth
+    base = dataclasses.replace(
+        cams[0], pose=fp.perturb_pose(cams[0].pose,
+                                      jnp.asarray([0.02, 0, 0, 0, 0.01, 0])))
+    fits = [fp.fit_camera_pose(sdf, base, target, num_iters=6,
+                               num_steps=24, remat=rm)
+            for rm in (False, True)]
+    np.testing.assert_allclose(np.asarray(fits[0].losses),
+                               np.asarray(fits[1].losses),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(fits[0].tangent),
+                               np.asarray(fits[1].tangent),
+                               rtol=1e-4, atol=1e-7)
+    assert float(fits[0].losses[-1]) < float(fits[0].losses[0])
+
+
 def test_reconstruct_pipeline_runs():
     from voxelized_geometry_tools_tpu import OccupancyMap
     from voxelized_geometry_tools_tpu.ops import voxelize

@@ -105,11 +105,14 @@ def perturb_pose(base_pose: Array, tangent: Array) -> Array:
 def depth_loss(sdf: SignedDistanceField, camera: render.PinholeCamera,
                target_depth: Array, num_steps: int = 64,
                max_depth: float = 100.0,
-               huber_delta: float = 0.1) -> Array:
+               huber_delta: float = 0.1, **render_kwargs) -> Array:
     """Masked Huber loss between rendered and target depth (rays that miss in
-    either image are excluded so the loss is smooth)."""
+    either image are excluded so the loss is smooth). Extra kwargs reach
+    :func:`render.render_depth` — e.g. ``remat=True`` to rematerialize the
+    march in the backward pass (full-frame fits otherwise store ~36
+    B/ray/step of activations), or a prebuilt ``corner_table``."""
     result = render.render_depth(sdf, camera, num_steps=num_steps,
-                                 max_depth=max_depth)
+                                 max_depth=max_depth, **render_kwargs)
     valid = result.hit & jnp.isfinite(target_depth) & (
         target_depth < max_depth)
     err = jnp.where(valid, result.depth - target_depth, 0.0)
@@ -127,17 +130,20 @@ class PoseFitResult:
 def fit_camera_pose(sdf: SignedDistanceField, base_camera: render.PinholeCamera,
                     target_depth: Array, num_iters: int = 100,
                     learning_rate: float = 1e-2, num_steps: int = 48,
-                    max_depth: float = 100.0) -> PoseFitResult:
+                    max_depth: float = 100.0,
+                    **render_kwargs) -> PoseFitResult:
     """Gradient-descent camera pose fit against a target depth image — the
     north star's "pose-gradient descent convergence" benchmark: pixel
-    gradients flow through sphere tracing into the se3 tangent."""
+    gradients flow through sphere tracing into the se3 tangent. Extra
+    kwargs reach :func:`render.render_depth` (``remat=True`` bounds
+    backward-pass memory for full-frame fits)."""
     base_pose = base_camera.pose
 
     def loss_fn(tangent):
         cam = dataclasses.replace(base_camera,
                                   pose=perturb_pose(base_pose, tangent))
         return depth_loss(sdf, cam, target_depth, num_steps=num_steps,
-                          max_depth=max_depth)
+                          max_depth=max_depth, **render_kwargs)
 
     optimizer = optax.adam(learning_rate)
 
@@ -161,18 +167,20 @@ def fit_voxels(sdf: SignedDistanceField, cameras: Sequence[render.PinholeCamera]
                target_depths: Sequence[Array], num_iters: int = 50,
                learning_rate: float = 0.05, num_steps: int = 48,
                max_depth: float = 100.0,
-               smoothness_weight: float = 0.1) -> Tuple[SignedDistanceField,
-                                                        Array]:
+               smoothness_weight: float = 0.1,
+               **render_kwargs) -> Tuple[SignedDistanceField, Array]:
     """Optimize the SDF voxel grid against target depth images (multi-view
     voxel refinement — pixel-to-voxel gradients with a TV smoothness prior).
-    Returns the refined (re-locked) SDF and the loss history."""
+    Returns the refined (re-locked) SDF and the loss history. Extra kwargs
+    reach :func:`render.render_depth` (``remat=True`` bounds backward-pass
+    memory for full-frame multi-view fits)."""
 
     def loss_fn(distances):
         cur = sdf.replace(distances=distances)
         loss = 0.0
         for cam, target in zip(cameras, target_depths):
             loss = loss + depth_loss(cur, cam, target, num_steps=num_steps,
-                                     max_depth=max_depth)
+                                     max_depth=max_depth, **render_kwargs)
         tv = (jnp.mean(jnp.abs(jnp.diff(distances, axis=0)))
               + jnp.mean(jnp.abs(jnp.diff(distances, axis=1)))
               + jnp.mean(jnp.abs(jnp.diff(distances, axis=2))))
