@@ -12,10 +12,17 @@ cone's own march slowness and never marches certified-miss rays at all.
 Run on the real chip.
 """
 
+import argparse
 import json
+import os
 import time
 
 import jax
+
+if os.environ.get("VGT_CPU"):
+    # In-process switch: the JAX_PLATFORMS env var is preempted by the
+    # host's sitecustomize and hangs when the TPU tunnel is down.
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -34,12 +41,19 @@ def _force(x):
 
 
 def main():
-    n = 512
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=512)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    a = p.parse_args()
+    n, iters = a.n, a.iters
+    w, h = a.width, a.height
     res = 0.01
     spec = GridSpec.from_voxel_counts(res, (n, n, n))
     ax = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) ** 2
     mask = (ax[:, None, None] + ax[None, :, None]
-            + ax[None, None, :]) <= 128.0 ** 2
+            + ax[None, None, :]) <= (n / 4.0) ** 2
     values = edt._sdf_values_from_mask(mask, res)
     sdf = SignedDistanceField.create(spec, values, locked=True)
     table = jax.jit(sdf_query.build_corner_table)(sdf)
@@ -69,8 +83,8 @@ def main():
     ]
     all_results = {}
     for focal in (520.0, 600.0):
-        cam = render.PinholeCamera.create(pose, 640, 480, focal=focal)
-        rays = 640 * 480
+        cam = render.PinholeCamera.create(pose, w, h, focal=focal)
+        rays = w * h
         # Equivalence oracle: the plain (no-cone) early-exit march. A
         # working prepass is hit-superset + depth-within-2*thresh, not
         # bitwise (BASELINE.md round-3 discovery section).
@@ -91,10 +105,10 @@ def main():
             r = fn(sdf.distances, table)
             _force(r.depth)
             t0 = time.monotonic()
-            for _ in range(10):
+            for _ in range(iters):
                 r = fn(sdf.distances, table)
             _force(r.depth)
-            dt = (time.monotonic() - t0) / 10
+            dt = (time.monotonic() - t0) / iters
             hit = np.asarray(r.hit)
             skipped = int((base_hit & ~hit).sum())
             m = base_hit & hit
@@ -116,7 +130,7 @@ def main():
     for dx, dz in [(0.0, 1.2), (0.5, 1.4), (-0.5, 1.3), (0.2, 1.6)]:
         p = np.eye(4, dtype=np.float32)
         p[:3, 3] = (size / 2 + dx, size / 2, -dz * size)
-        cams.append(render.PinholeCamera.create(p, 640, 480, focal=520.0))
+        cams.append(render.PinholeCamera.create(p, w, h, focal=520.0))
     batched_cams = jax.tree.map(lambda *x: jnp.stack(x), *cams)
     bfn = jax.jit(lambda d, t: render.render_depth_batch(
         sdf.replace(distances=d), batched_cams, num_steps=64,
@@ -124,10 +138,10 @@ def main():
     out = bfn(sdf.distances, table)
     _force(out)
     t0 = time.monotonic()
-    for _ in range(10):
+    for _ in range(iters):
         out = bfn(sdf.distances, table)
     _force(out)
-    batch_dt = (time.monotonic() - t0) / 10
+    batch_dt = (time.monotonic() - t0) / iters
     sfn = jax.jit(lambda d, t, c: render.render_depth(
         sdf.replace(distances=d), c, num_steps=64, corner_table=t,
         early_exit=True, coarse_factor=4, head_steps=0,
@@ -135,12 +149,12 @@ def main():
     for c in cams:
         _force(sfn(sdf.distances, table, c))
     t0 = time.monotonic()
-    for _ in range(10):
+    for _ in range(iters):
         for c in cams:
             out = sfn(sdf.distances, table, c)
     _force(out)
-    seq_dt = (time.monotonic() - t0) / 10
-    n4 = 4 * 640 * 480
+    seq_dt = (time.monotonic() - t0) / iters
+    n4 = 4 * w * h
     all_results["batch4"] = {
         "batched_ms": batch_dt * 1e3, "batched_mrays": n4 / batch_dt / 1e6,
         "sequential_ms": seq_dt * 1e3, "seq_mrays": n4 / seq_dt / 1e6}
