@@ -1,0 +1,159 @@
+"""Isosurface extraction (ops/isosurface.py).
+
+Oracles: analytic sphere/plane SDFs (vertex-to-surface residuals must be
+sub-voxel), gradient-aligned winding, overflow accounting, and a
+mesh -> rasterizer round trip against ops/mesh.py (the two modules are
+exact inverses up to the rasterizer's conservative shell).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelized_geometry_tools_tpu import GridSpec
+from voxelized_geometry_tools_tpu.core.maps import SignedDistanceField
+from voxelized_geometry_tools_tpu.ops import isosurface, mesh
+
+
+def _sphere_sdf(n=24, res=0.1, radius_vox=7.0):
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    ax = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+    r = jnp.sqrt(ax[:, None, None] ** 2 + ax[None, :, None] ** 2
+                 + ax[None, None, :] ** 2)
+    d = (r - radius_vox) * res
+    return SignedDistanceField.create(spec, d, locked=True), radius_vox * res
+
+
+def _tri_residual_to_sphere(m, center, radius):
+    v = np.asarray(m.vertices)[np.asarray(m.valid)]
+    rr = np.linalg.norm(v.reshape(-1, 3) - center, axis=-1)
+    return np.abs(rr - radius)
+
+
+def test_sphere_vertices_on_surface():
+    sdf, radius = _sphere_sdf()
+    m = jax.jit(lambda s: isosurface.extract_isosurface(
+        s, max_triangles=8192, frame="grid"))(sdf)
+    n_valid = int(np.asarray(m.valid).sum())
+    assert n_valid > 100
+    assert int(m.num_triangles) == n_valid
+    assert not bool(m.overflowed)
+    # Grid-frame sphere center: cell centers span (idx + 0.5) * res and the
+    # mask is centered at (n-1)/2 -> center = ((n-1)/2 + 0.5) * res.
+    c = (24 - 1) / 2.0 * 0.1 + 0.05
+    resid = _tri_residual_to_sphere(m, np.array([c, c, c]), radius)
+    # Linear interpolation of an exact metric SDF puts every crossing
+    # within a small fraction of a voxel of the true surface.
+    assert float(resid.max()) < 0.35 * 0.1
+    assert float(resid.mean()) < 0.1 * 0.1
+
+
+def test_level_offset_shifts_radius():
+    sdf, radius = _sphere_sdf()
+    lvl = 2 * 0.1
+    m = isosurface.extract_isosurface(sdf, level=lvl, max_triangles=8192,
+                                      frame="grid")
+    c = (24 - 1) / 2.0 * 0.1 + 0.05
+    resid = _tri_residual_to_sphere(m, np.array([c, c, c]), radius + lvl)
+    assert float(resid.max()) < 0.35 * 0.1
+
+
+def test_winding_follows_gradient_plane():
+    """A z-plane field (d = z - z0) must yield triangles whose normals all
+    point along +z after the gradient winding fix."""
+    n, res = 12, 0.5
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    z = (jnp.arange(n, dtype=jnp.float32) + 0.5) * res
+    d = jnp.broadcast_to(z[None, None, :] - 3.1 * res, (n, n, n))
+    sdf = SignedDistanceField.create(spec, d)
+    m = isosurface.extract_isosurface(sdf, max_triangles=4096, frame="grid")
+    v = np.asarray(m.vertices)[np.asarray(m.valid)]
+    assert len(v) > 0
+    nrm = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    area = np.linalg.norm(nrm, axis=-1)
+    keep = area > 1e-12  # marching tets emits some degenerate slivers
+    assert keep.sum() > 0
+    assert (nrm[keep, 2] > 0.0).all()
+    np.testing.assert_allclose(v[..., 2], 3.1 * res, atol=1e-5)
+
+
+def test_overflow_reports_true_count():
+    sdf, _ = _sphere_sdf()
+    full = isosurface.extract_isosurface(sdf, max_triangles=8192)
+    true_count = int(full.num_triangles)
+    small = isosurface.extract_isosurface(sdf, max_triangles=64)
+    assert bool(small.overflowed)
+    assert int(small.num_triangles) == true_count
+    assert int(np.asarray(small.valid).sum()) == 64
+
+
+def test_world_frame_applies_origin_transform():
+    sdf, _ = _sphere_sdf(n=16, radius_vox=4.0)
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = (1.0, -2.0, 3.0)
+    moved = sdf.replace(origin_transform=jnp.asarray(shift))
+    mg = isosurface.extract_isosurface(moved, max_triangles=4096,
+                                       frame="grid")
+    mw = isosurface.extract_isosurface(moved, max_triangles=4096,
+                                       frame="world")
+    vg = np.asarray(mg.vertices)[np.asarray(mg.valid)]
+    vw = np.asarray(mw.vertices)[np.asarray(mw.valid)]
+    np.testing.assert_allclose(vw, vg + shift[:3, 3], atol=1e-5)
+
+
+def test_roundtrip_mesh_rasterizes_back_onto_surface():
+    """extract_isosurface o rasterize ~= the SDF's zero-crossing shell:
+    every voxel whose center is within res/4 of the surface must be marked
+    filled by rasterizing the extracted mesh (the rasterizer fills cells
+    within sqrt(3)/2*res of any triangle), and no marked voxel may be
+    farther than ~1 voxel from the surface."""
+    sdf, radius = _sphere_sdf(n=20, radius_vox=6.0)
+    # Identity origin transform: grid frame == world frame.
+    m = isosurface.extract_isosurface(sdf, max_triangles=8192, frame="world")
+    v = np.asarray(m.vertices)[np.asarray(m.valid)]
+    nrm = np.linalg.norm(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]),
+                         axis=-1)
+    v = v[nrm > 1e-12]  # the rasterizer's plane normal needs non-degenerate
+    from voxelized_geometry_tools_tpu.core.maps import OccupancyMap
+    omap = OccupancyMap.create(sdf.spec, sdf.origin_transform, "bench")
+    grid = mesh.rasterize_mesh(
+        omap, v.reshape(-1, 3), np.arange(v.size // 3).reshape(-1, 3))
+    occ = np.asarray(grid.occupancy) > 0.5
+    d = np.asarray(sdf.distances)
+    assert occ[np.abs(d) < 0.25 * 0.1].all()
+    assert (np.abs(d[occ]) < 1.1 * 0.1).all()
+
+
+def test_empty_field_extracts_nothing():
+    n, res = 8, 0.1
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    sdf = SignedDistanceField.create(spec, jnp.full((n, n, n), 5.0))
+    m = isosurface.extract_isosurface(sdf, max_triangles=128)
+    assert int(m.num_triangles) == 0
+    assert not bool(np.asarray(m.valid).any())
+
+
+def test_rejects_bad_args():
+    sdf, _ = _sphere_sdf(n=16)
+    with pytest.raises(ValueError):
+        isosurface.extract_isosurface(sdf, frame="nope")
+    spec1 = GridSpec.from_voxel_counts(0.1, (1, 4, 4))
+    thin = SignedDistanceField.create(spec1, jnp.zeros((1, 4, 4)))
+    with pytest.raises(ValueError):
+        isosurface.extract_isosurface(thin)
+
+
+def test_export_isosurface_marker():
+    from voxelized_geometry_tools_tpu.io import viz
+    sdf, _ = _sphere_sdf(n=16, radius_vox=4.0)
+    m = isosurface.extract_isosurface(sdf, max_triangles=4096)
+    mk = viz.export_isosurface_for_display(m, "bench")
+    assert mk.num_triangles > 50
+    assert mk.points.shape == (3 * mk.num_triangles, 3)
+    # Triples must reproduce the valid, non-degenerate triangles in order.
+    v = np.asarray(m.vertices)[np.asarray(m.valid)]
+    area = np.linalg.norm(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]),
+                          axis=-1)
+    np.testing.assert_allclose(
+        mk.points.reshape(-1, 3, 3), v[area > 1e-12], atol=1e-7)

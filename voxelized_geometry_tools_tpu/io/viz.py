@@ -484,3 +484,43 @@ def export_index_map_for_display(omap, index_map,
         if indices else np.zeros((0, 3), np.int64), surface_color)
     marker.ns = "occupancy_map_surface"
     return marker
+
+
+@dataclasses.dataclass
+class TriangleMarker:
+    """Data content of a TRIANGLE_LIST marker — the meshed counterpart of
+    :class:`VoxelMarker` for surfaces extracted by
+    :func:`..ops.isosurface.extract_isosurface` (a TPU-native addition; the
+    reference displays voxels only). ``points`` is ``[3*T, 3]`` world/grid
+    positions, three consecutive rows per triangle, exactly the layout
+    ``visualization_msgs::Marker.points`` expects for TRIANGLE_LIST."""
+    frame: str
+    pose: np.ndarray  # [4, 4] marker pose (identity if points are world)
+    points: np.ndarray  # [3*T, 3]
+    color: np.ndarray  # [4] single RGBA for the whole mesh
+    ns: str = ""
+
+    @property
+    def num_triangles(self) -> int:
+        return self.points.shape[0] // 3
+
+    def pose_translation_quaternion(self):
+        from ..core.transforms import isometry_to_pose
+        return isometry_to_pose(self.pose)
+
+
+def export_isosurface_for_display(iso_mesh, frame: str,
+                                  color=(0.2, 0.6, 0.9, 1.0),
+                                  ns: str = "isosurface") -> TriangleMarker:
+    """Pack an :class:`..ops.isosurface.IsoMesh` (already in the frame the
+    caller extracted it in) as a TRIANGLE_LIST marker, dropping invalid
+    capacity rows and degenerate slivers."""
+    v = np.asarray(iso_mesh.vertices)[np.asarray(iso_mesh.valid)]
+    if v.size:
+        area2 = np.linalg.norm(
+            np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
+        v = v[area2 > 1e-12]
+    return TriangleMarker(
+        frame=frame, pose=np.eye(4, dtype=np.float64),
+        points=np.ascontiguousarray(v.reshape(-1, 3).astype(np.float64)),
+        color=np.asarray(color, np.float32), ns=ns)
