@@ -157,3 +157,39 @@ def test_export_isosurface_marker():
                           axis=-1)
     np.testing.assert_allclose(
         mk.points.reshape(-1, 3, 3), v[area > 1e-12], atol=1e-7)
+
+
+def test_weld_vertices_shares_edges():
+    sdf, radius = _sphere_sdf()
+    m = isosurface.extract_isosurface(sdf, max_triangles=8192, frame="grid")
+    verts, faces = isosurface.weld_vertices(m)
+    assert len(faces) > 0
+    # Welding must shrink the vertex count well below 3 * faces (shared
+    # edges), and faces must index valid vertices.
+    assert len(verts) < 0.6 * 3 * len(faces)
+    assert faces.min() >= 0 and faces.max() < len(verts)
+    # A closed surface built by marching tets: every edge is shared by
+    # exactly 2 faces (manifold, watertight).
+    e = np.concatenate([faces[:, (0, 1)], faces[:, (1, 2)],
+                        faces[:, (2, 0)]])
+    e.sort(axis=1)
+    _, cnt = np.unique(e, axis=0, return_counts=True)
+    assert (cnt == 2).all()
+    # Euler characteristic of a sphere: V - E + F = 2.
+    n_edges = len(np.unique(e, axis=0))
+    assert len(verts) - n_edges + len(faces) == 2
+
+
+def test_save_obj_roundtrip(tmp_path):
+    sdf, _ = _sphere_sdf(n=16, radius_vox=4.0)
+    m = isosurface.extract_isosurface(sdf, max_triangles=4096, frame="grid")
+    path = tmp_path / "sphere.obj"
+    n_faces = isosurface.save_obj(path, m)
+    lines = path.read_text().splitlines()
+    v_lines = [l for l in lines if l.startswith("v ")]
+    f_lines = [l for l in lines if l.startswith("f ")]
+    assert len(f_lines) == n_faces > 0
+    verts, faces = isosurface.weld_vertices(m)
+    assert len(v_lines) == len(verts)
+    p0 = np.asarray([float(x) for x in v_lines[0].split()[1:]])
+    np.testing.assert_allclose(p0, verts[0], atol=1e-6)

@@ -246,3 +246,44 @@ def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
         flat = transforms.apply_isometry(sdf.origin_transform, flat)
         verts = flat.reshape(-1, 3, 3)
     return IsoMesh(vertices=verts, valid=valid, num_triangles=count)
+
+
+def weld_vertices(iso_mesh: IsoMesh, tolerance: float = 1e-6):
+    """Host-side: collapse the triangle soup into an indexed mesh.
+
+    Marching tetrahedra emits each crossing point once per incident
+    triangle; welding by position (quantized to ``tolerance``) recovers the
+    shared-vertex mesh downstream tools expect. Returns
+    ``(vertices [V, 3] f64, faces [F, 3] i64)`` with degenerate faces
+    (repeated welded indices — the zero-area slivers marching tets can
+    emit when a crossing lands on a lattice vertex) dropped.
+    """
+    v = np.asarray(iso_mesh.vertices)[np.asarray(iso_mesh.valid)]
+    if v.size == 0:
+        return np.zeros((0, 3), np.float64), np.zeros((0, 3), np.int64)
+    flat = v.reshape(-1, 3).astype(np.float64)
+    keys = np.round(flat / float(tolerance)).astype(np.int64)
+    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+    # Average the original (unquantized) coordinates per welded vertex.
+    counts = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)
+    verts = np.zeros((len(uniq), 3), np.float64)
+    for a in range(3):
+        verts[:, a] = np.bincount(inverse, weights=flat[:, a],
+                                  minlength=len(uniq)) / counts
+    faces = inverse.reshape(-1, 3).astype(np.int64)
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return verts, faces[ok]
+
+
+def save_obj(path, iso_mesh: IsoMesh, tolerance: float = 1e-6) -> int:
+    """Write the extracted surface as a Wavefront OBJ file (welded,
+    1-indexed). Returns the number of faces written."""
+    verts, faces = weld_vertices(iso_mesh, tolerance)
+    with open(path, "w") as f:
+        f.write("# voxelized_geometry_tools_tpu isosurface\n")
+        for p in verts:
+            f.write(f"v {p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+        for a, b, c in faces + 1:
+            f.write(f"f {a} {b} {c}\n")
+    return len(faces)
