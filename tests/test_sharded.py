@@ -208,3 +208,42 @@ def test_sharded_column_carve_matches(mesh8):
                                   np.asarray(multi.seen_free))
     np.testing.assert_array_equal(np.asarray(single.seen_filled),
                                   np.asarray(multi.seen_filled))
+
+
+def test_sharded_isosurface_matches_single_device(mesh8):
+    """Concatenating the shards' valid triangles in shard order must equal
+    the single-device extraction bit-for-bit (same cubes, same ops; only
+    the slab partitioning differs)."""
+    from voxelized_geometry_tools_tpu.core.maps import SignedDistanceField
+    from voxelized_geometry_tools_tpu.ops import isosurface
+
+    n, res = 32, 0.1
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    ax = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+    r = jnp.sqrt(ax[:, None, None] ** 2 + ax[None, :, None] ** 2
+                 + ax[None, None, :] ** 2)
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = (0.5, -1.0, 2.0)
+    sdf = SignedDistanceField.create(spec, (r - 8.0) * res,
+                                     jnp.asarray(shift), locked=True)
+
+    single = isosurface.extract_isosurface(sdf, max_triangles=16384)
+    multi, counts = jax.jit(
+        lambda s: sharded.sharded_extract_isosurface(
+            s, mesh8, max_triangles_per_shard=2048))(sdf)
+
+    counts = np.asarray(counts)
+    assert counts.shape == (8,)
+    assert (counts <= 2048).all(), "per-shard capacity exceeded"
+    assert int(multi.num_triangles) == int(single.num_triangles) \
+        == int(counts.sum())
+    v_single = np.asarray(single.vertices)[np.asarray(single.valid)]
+    v_multi = np.asarray(multi.vertices)[np.asarray(multi.valid)]
+    np.testing.assert_array_equal(v_multi, v_single)
+
+    # Per-shard overflow must be detectable even when the TOTAL fits.
+    small, small_counts = jax.jit(
+        lambda s: sharded.sharded_extract_isosurface(
+            s, mesh8, max_triangles_per_shard=8))(sdf)
+    assert (np.asarray(small_counts) > 8).any()
+    assert int(small.num_triangles) == int(single.num_triangles)

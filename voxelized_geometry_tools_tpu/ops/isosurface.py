@@ -126,27 +126,20 @@ class IsoMesh(NamedTuple):
         return self.num_triangles > self.capacity
 
 
-def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
-                       max_triangles: int = 1 << 18,
-                       frame: str = "world") -> IsoMesh:
-    """Extract the ``distance == level`` surface as a triangle mesh.
+def _extract_planes(d: Array, n_slabs: int, n_valid_slabs, x_base,
+                    res, cap: int):
+    """Core slab sweep over ``d`` ([>= n_slabs+1, ny, nz] value planes).
 
-    ``frame`` is ``"world"`` (apply the SDF origin transform) or ``"grid"``.
-    Jit-compatible (``max_triangles``/``level``/``frame`` static). A cell
-    is "inside" iff ``distance - level < 0``; surfaces through NaN/inf
-    cells (e.g. the +inf oob padding of partially observed fields) are
-    suppressed because comparisons with them never produce a crossing pair.
+    ``n_slabs`` is the static loop bound; slabs with index >=
+    ``n_valid_slabs`` (traced) emit nothing — how a sharded caller masks
+    the final halo cube of the last shard. ``x_base`` (traced float) shifts
+    the absolute X coordinate for shard-local plane arrays. Returns
+    ``(verts [cap, 3, 3], valid [cap], count)``; per-triangle values are
+    bitwise-identical for any slab partitioning of the same grid.
     """
-    if frame not in ("world", "grid"):
-        raise ValueError(f"frame must be 'world' or 'grid', got {frame!r}")
-    spec = sdf.spec
-    spec.enforce_uniform_voxel_size()
-    nx, ny, nz = spec.shape
-    if min(nx, ny, nz) < 2:
-        raise ValueError("isosurface extraction needs >= 2 voxels per axis")
-    cx, cy, cz = nx - 1, ny - 1, nz - 1
-    res = jnp.float32(spec.resolution)
-    d = sdf.distances.astype(jnp.float32) - jnp.float32(level)
+    _, ny, nz = d.shape
+    cy, cz = ny - 1, nz - 1
+    res = jnp.float32(res)
 
     corner = jnp.asarray(_CORNER)          # [8, 3]
     tets = jnp.asarray(_TETS)              # [6, 4]
@@ -164,7 +157,7 @@ def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
     pb = tet_pos[:, eb]
 
     m = cy * cz * 6 * 2  # candidate triangles per slab
-    cap = int(max_triangles)
+    cap = int(cap)
 
     def slab(i, carry):
         verts_out, valid_out, offset = carry
@@ -218,7 +211,7 @@ def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
         jj = jnp.arange(cy, dtype=jnp.float32)
         kk = jnp.arange(cz, dtype=jnp.float32)
         org = jnp.stack(jnp.broadcast_arrays(
-            jnp.float32(0.0) + i.astype(jnp.float32),
+            jnp.asarray(x_base, jnp.float32) + i.astype(jnp.float32),
             jj[:, None], kk[None, :]), axis=-1)  # [cy, cz, 3]
         tri = (tri + org[None, :, :, None, None, :]
                + jnp.float32(0.5)) * res
@@ -226,6 +219,7 @@ def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
         # Append valid triangles at the running offset.
         slot = jnp.arange(2, dtype=jnp.int32)
         tvalid = slot[None, None, None, :] < ntris[..., None]  # [6,cy,cz,2]
+        tvalid = tvalid & (i < jnp.asarray(n_valid_slabs, jnp.int32))
         tvf = tvalid.reshape(m)
         trif = tri.reshape(m, 3, 3)
         pos = offset + jnp.cumsum(tvf.astype(jnp.int32)) - tvf
@@ -235,11 +229,40 @@ def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
         valid_out = valid_out.at[idx].set(tvf, mode="drop")
         return verts_out, valid_out, offset + jnp.sum(tvf, dtype=jnp.int32)
 
-    verts0 = jnp.zeros((cap + 1, 3, 3), jnp.float32)
-    valid0 = jnp.zeros((cap + 1,), bool)
+    # Derive the init carry from the inputs so its varying manual axes
+    # match the body outputs under shard_map (same pattern as
+    # render.march_while).
+    z = d.reshape(-1)[0] * 0.0
+    verts0 = jnp.zeros((cap + 1, 3, 3), jnp.float32) + z
+    valid0 = (jnp.zeros((cap + 1,), jnp.float32) + z) > 0.0
+    count0 = jnp.int32(0) + jnp.asarray(n_valid_slabs, jnp.int32) * 0
     verts, valid, count = lax.fori_loop(
-        0, cx, slab, (verts0, valid0, jnp.int32(0)))
-    verts, valid = verts[:cap], valid[:cap]
+        0, n_slabs, slab, (verts0, valid0, count0))
+    return verts[:cap], valid[:cap], count
+
+
+def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
+                       max_triangles: int = 1 << 18,
+                       frame: str = "world") -> IsoMesh:
+    """Extract the ``distance == level`` surface as a triangle mesh.
+
+    ``frame`` is ``"world"`` (apply the SDF origin transform) or ``"grid"``.
+    Jit-compatible (``max_triangles``/``level``/``frame`` static). A cell
+    is "inside" iff ``distance - level < 0``; surfaces through NaN/inf
+    cells (e.g. the +inf oob padding of partially observed fields) are
+    suppressed because comparisons with them never produce a crossing pair.
+    """
+    if frame not in ("world", "grid"):
+        raise ValueError(f"frame must be 'world' or 'grid', got {frame!r}")
+    spec = sdf.spec
+    spec.enforce_uniform_voxel_size()
+    nx, ny, nz = spec.shape
+    if min(nx, ny, nz) < 2:
+        raise ValueError("isosurface extraction needs >= 2 voxels per axis")
+    cx = nx - 1
+    d = sdf.distances.astype(jnp.float32) - jnp.float32(level)
+    verts, valid, count = _extract_planes(
+        d, cx, cx, 0.0, spec.resolution, int(max_triangles))
 
     if frame == "world":
         flat = verts.reshape(-1, 3)

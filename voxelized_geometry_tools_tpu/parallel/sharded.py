@@ -158,6 +158,71 @@ def sharded_extract_sdf(occupancy: Array, spec: GridSpec, origin_transform,
         frame=frame, oob_value=oob_value, locked=True)
 
 
+def sharded_extract_isosurface(sdf: SignedDistanceField, mesh: Mesh,
+                               axis_name: str = "z", level: float = 0.0,
+                               max_triangles_per_shard: int = 1 << 16,
+                               frame: str = "world"):
+    """X-slab-sharded isosurface extraction (``ops.isosurface``).
+
+    Each device owns ``nx / n`` value planes plus ONE halo plane fetched
+    from its +X neighbor by ``ppermute`` (the cube layer straddling the
+    shard boundary belongs to the lower shard; the last shard masks its
+    halo cube layer out), then runs the same slab sweep as the single-
+    device extractor over its own cubes — per-triangle values are
+    bitwise-identical, and concatenating the shards' valid triangles in
+    shard order reproduces the single-device output exactly
+    (tests/test_sharded.py).
+
+    Returns ``(IsoMesh, shard_counts)``: the mesh's buffers are the
+    concatenated per-shard buffers (capacity ``n * max_triangles_per_shard``
+    with per-shard compaction, so valid rows are not globally contiguous —
+    exactly what ``IsoMesh.valid`` masking and ``weld_vertices`` expect),
+    and ``shard_counts[i] > max_triangles_per_shard`` detects PER-SHARD
+    overflow (the aggregate ``IsoMesh.overflowed`` cannot: one shard can
+    overflow while the total stays under capacity)."""
+    from ..ops import isosurface as iso_ops
+
+    if frame not in ("world", "grid"):
+        raise ValueError(f"frame must be 'world' or 'grid', got {frame!r}")
+    spec = sdf.spec
+    spec.enforce_uniform_voxel_size()
+    n_shards = mesh.shape[axis_name]
+    nx, ny, nz = spec.shape
+    if nx % n_shards:
+        raise ValueError(f"the mesh axis size {n_shards} must divide "
+                         f"nx ({nx})")
+    if min(nx // n_shards, ny, nz) < 2 or nx < 2:
+        raise ValueError("shards need >= 2 planes per axis")
+    cap = int(max_triangles_per_shard)
+    d = sdf.distances.astype(jnp.float32) - jnp.float32(level)
+
+    def local_extract(d_local):
+        sx = d_local.shape[0]
+        idx = lax.axis_index(axis_name)
+        halo = lax.ppermute(
+            d_local[:1], axis_name,
+            perm=[(s + 1, s) for s in range(n_shards - 1)])
+        d_ext = jnp.concatenate([d_local, halo], axis=0)  # [sx + 1, ny, nz]
+        n_valid = sx - (idx == n_shards - 1).astype(jnp.int32)
+        x_base = (idx * sx).astype(jnp.float32)
+        verts, valid, count = iso_ops._extract_planes(
+            d_ext, sx, n_valid, x_base, spec.resolution, cap)
+        return verts, valid, count[None]
+
+    fn = shard_map(local_extract, mesh=mesh,
+                   in_specs=P(axis_name),
+                   out_specs=(P(axis_name), P(axis_name), P(axis_name)))
+    verts, valid, counts = fn(d)
+
+    if frame == "world":
+        flat = verts.reshape(-1, 3)
+        flat = transforms.apply_isometry(sdf.origin_transform, flat)
+        verts = flat.reshape(-1, 3, 3)
+    m = iso_ops.IsoMesh(vertices=verts, valid=valid,
+                        num_triangles=jnp.sum(counts))
+    return m, counts
+
+
 # -- Sharded ray carving -------------------------------------------------------
 
 
