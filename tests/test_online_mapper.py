@@ -78,3 +78,15 @@ def test_render_and_localize():
                      num_steps=24)
     losses = np.asarray(fit.losses)
     assert losses[-1] < 0.5 * losses[0]
+
+
+def test_extract_mesh_covers_integrated_wall():
+    m = _mapper()
+    m.integrate(voxelize.PointCloud.create(_plane_cloud(0.35), np.eye(4)))
+    mesh = m.extract_mesh(max_triangles=4096)
+    assert int(mesh.num_triangles) > 0 and not bool(mesh.overflowed)
+    v = np.asarray(mesh.vertices)[np.asarray(mesh.valid)]
+    # The carved wall sits at world z ~= 0.35; the zero level set must put
+    # triangles within a voxel of it on the camera side.
+    assert v.size > 0
+    assert float(np.abs(v[..., 2] - 0.35).min()) < 0.5

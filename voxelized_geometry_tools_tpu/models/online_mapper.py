@@ -155,6 +155,16 @@ class OnlineMapper:
         """Render the live map's SDF from a camera."""
         return render.render_depth(self.sdf(), camera, **kwargs)
 
+    def extract_mesh(self, level: float = 0.0,
+                     max_triangles: int = 1 << 18, frame: str = "world"):
+        """Extract the live map's surface as a triangle mesh
+        (:func:`..ops.isosurface.extract_isosurface` on the cached SDF) —
+        the meshed-output stage of the online-mapping loop."""
+        from ..ops import isosurface
+        return isosurface.extract_isosurface(
+            self.sdf(), level=level, max_triangles=max_triangles,
+            frame=frame)
+
     def localize(self, camera_guess: render.PinholeCamera,
                  target_depth: Array, num_iters: int = 50,
                  learning_rate: float = 0.01, **render_kwargs):
