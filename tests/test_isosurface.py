@@ -195,3 +195,27 @@ def test_save_obj_roundtrip(tmp_path):
     assert len(v_lines) == len(verts)
     p0 = np.asarray([float(x) for x in v_lines[0].split()[1:]])
     np.testing.assert_allclose(p0, verts[0], atol=1e-6)
+
+
+def test_extract_object_meshes_two_boxes():
+    from voxelized_geometry_tools_tpu import TaggedObjectOccupancyMap
+    n, res = 16, 0.1
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    omap = TaggedObjectOccupancyMap.create(spec)
+    occ = np.zeros((n, n, n), np.float32)
+    oid = np.zeros((n, n, n), np.uint32)
+    occ[2:6, 2:6, 2:6] = 1.0
+    oid[2:6, 2:6, 2:6] = 3
+    occ[9:14, 9:14, 9:14] = 1.0
+    oid[9:14, 9:14, 9:14] = 7
+    omap = omap.replace(occupancy=jnp.asarray(occ),
+                        object_id=jnp.asarray(oid))
+    meshes = isosurface.extract_object_meshes(omap, max_triangles=4096,
+                                              frame="grid")
+    assert sorted(meshes) == [3, 7]
+    for oid_, lo, hi in [(3, 2, 6), (7, 9, 14)]:
+        m = meshes[oid_]
+        v = np.asarray(m.vertices)[np.asarray(m.valid)].reshape(-1, 3)
+        assert len(v) > 0 and not bool(m.overflowed)
+        # Each object's mesh must enclose only ITS box (within a voxel).
+        assert (v > (lo - 1.0) * res).all() and (v < (hi + 1.0) * res).all()

@@ -310,3 +310,21 @@ def save_obj(path, iso_mesh: IsoMesh, tolerance: float = 1e-6) -> int:
         for a, b, c in faces + 1:
             f.write(f"f {a} {b} {c}\n")
     return len(faces)
+
+
+def extract_object_meshes(omap, level: float = 0.0,
+                          max_triangles: int = 1 << 16,
+                          frame: str = "world", **sdf_kwargs):
+    """One watertight mesh per tagged object: each object id present in
+    ``omap`` (a TaggedObjectOccupancy[Component]Map) gets its own SDF
+    (``map_ops.make_all_object_sdfs``,
+    tagged_object_occupancy_component_map.hpp:426-452) and its zero level
+    set extracted. Returns ``{object_id: IsoMesh}`` — the meshed
+    counterpart of the reference's per-object-color voxel display.
+    """
+    from . import map_ops
+    sdfs = map_ops.make_all_object_sdfs(omap, **sdf_kwargs)
+    return {oid: extract_isosurface(s, level=level,
+                                    max_triangles=max_triangles,
+                                    frame=frame)
+            for oid, s in sdfs.items()}
