@@ -219,3 +219,23 @@ def test_extract_object_meshes_two_boxes():
         assert len(v) > 0 and not bool(m.overflowed)
         # Each object's mesh must enclose only ITS box (within a voxel).
         assert (v > (lo - 1.0) * res).all() and (v < (hi + 1.0) * res).all()
+
+
+def test_mesh_statistics_sphere():
+    sdf, radius = _sphere_sdf()
+    m = isosurface.extract_isosurface(sdf, max_triangles=8192, frame="grid")
+    area, volume = isosurface.mesh_statistics(m)
+    # Discrete level-set mesh of an analytic sphere: area and volume land
+    # within a few percent of the closed forms at 14 voxels of diameter.
+    assert abs(area - 4 * np.pi * radius ** 2) < 0.05 * 4 * np.pi * radius ** 2
+    assert abs(volume - 4 / 3 * np.pi * radius ** 3) \
+        < 0.05 * 4 / 3 * np.pi * radius ** 3
+    # Level offset grows both monotonically.
+    m2 = isosurface.extract_isosurface(sdf, level=0.15, max_triangles=8192,
+                                       frame="grid")
+    a2, v2 = isosurface.mesh_statistics(m2)
+    assert a2 > area and v2 > volume
+    # Empty mesh -> zeros.
+    empty = isosurface.extract_isosurface(
+        sdf.replace(distances=sdf.distances + 100.0), max_triangles=64)
+    assert isosurface.mesh_statistics(empty) == (0.0, 0.0)

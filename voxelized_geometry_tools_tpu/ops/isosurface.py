@@ -328,3 +328,22 @@ def extract_object_meshes(omap, level: float = 0.0,
                                     max_triangles=max_triangles,
                                     frame=frame)
             for oid, s in sdfs.items()}
+
+
+def mesh_statistics(iso_mesh: IsoMesh):
+    """Host-side surface area and enclosed volume of the extracted mesh.
+
+    Area is the summed triangle areas; volume uses the divergence theorem
+    (sum of signed origin-apex tetrahedron volumes — exact for any closed
+    mesh with outward winding, which the gradient-aligned flip guarantees
+    for SDF level sets). Returns ``(area, volume)`` floats.
+    """
+    v = np.asarray(iso_mesh.vertices)[np.asarray(iso_mesh.valid)]
+    if v.size == 0:
+        return 0.0, 0.0
+    v = v.astype(np.float64)
+    cr = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    area = 0.5 * float(np.linalg.norm(cr, axis=-1).sum())
+    volume = float(np.einsum("ij,ij->i", v[:, 0],
+                             np.cross(v[:, 1], v[:, 2])).sum()) / 6.0
+    return area, volume
