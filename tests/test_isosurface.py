@@ -239,3 +239,39 @@ def test_mesh_statistics_sphere():
     empty = isosurface.extract_isosurface(
         sdf.replace(distances=sdf.distances + 100.0), max_triangles=64)
     assert isosurface.mesh_statistics(empty) == (0.0, 0.0)
+
+
+def test_random_fields_manifold_with_boundary_openings():
+    """Random smooth fields exercise every tet sign case; the extracted
+    mesh must be manifold everywhere (no edge in 3+ faces) and only edges
+    on the lattice boundary box may be open (level sets clipped by the
+    grid are not closed)."""
+    rng = np.random.default_rng(5)
+    n, res = 14, 0.1
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    for trial in range(3):
+        raw = rng.normal(size=(n, n, n))
+        # Smooth with a small box filter so the surface is coherent.
+        f = raw.copy()
+        for ax in range(3):
+            f = (np.roll(f, 1, ax) + f + np.roll(f, -1, ax)) / 3.0
+        sdf = SignedDistanceField.create(spec, jnp.asarray(f * res * 3))
+        m = isosurface.extract_isosurface(sdf, max_triangles=32768,
+                                          frame="grid")
+        assert not bool(m.overflowed)
+        verts, faces = isosurface.weld_vertices(m)
+        if len(faces) == 0:
+            continue
+        e = np.concatenate([faces[:, (0, 1)], faces[:, (1, 2)],
+                            faces[:, (2, 0)]])
+        e.sort(axis=1)
+        uniq, cnt = np.unique(e, axis=0, return_counts=True)
+        assert cnt.max() <= 2, "non-manifold edge"
+        open_edges = uniq[cnt == 1]
+        if len(open_edges):
+            lo, hi = 0.5 * res, (n - 0.5) * res
+            pts = verts[open_edges]  # [E, 2, 3]
+            on_boundary = (np.isclose(pts, lo, atol=1e-6)
+                           | np.isclose(pts, hi, atol=1e-6)).any(axis=2)
+            assert on_boundary.all(axis=1).all(), \
+                "open edge away from the grid boundary"
