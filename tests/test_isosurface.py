@@ -275,3 +275,35 @@ def test_random_fields_manifold_with_boundary_openings():
                            | np.isclose(pts, hi, atol=1e-6)).any(axis=2)
             assert on_boundary.all(axis=1).all(), \
                 "open edge away from the grid boundary"
+
+
+def test_extraction_is_differentiable_in_field_values():
+    """Crossing positions are smooth in the corner values (t = va/(va-vb)),
+    so vertex-based losses differentiate back to the voxel field: the
+    gradient of the mesh's mean radius under a uniform field shift must
+    match finite differences (|grad d| ~= 1 -> the level set moves ~1:1)."""
+    n, res = 12, 0.1
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    ax = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+    r = jnp.sqrt(ax[:, None, None] ** 2 + ax[None, :, None] ** 2
+                 + ax[None, None, :] ** 2)
+    d0 = (r - 3.5) * res
+    sdf = SignedDistanceField.create(spec, d0, locked=True)
+    c = (n - 1) / 2.0 * res + 0.05
+
+    def mean_radius(dvals):
+        m = isosurface.extract_isosurface(sdf.replace(distances=dvals),
+                                          max_triangles=2048, frame="grid")
+        rr = jnp.linalg.norm(m.vertices.reshape(-1, 3) - c, axis=-1)
+        w = jnp.repeat(m.valid, 3).astype(jnp.float32)
+        return jnp.sum(rr * w) / jnp.sum(w)
+
+    g = jax.grad(mean_radius)(d0)
+    assert bool(jnp.isfinite(g).all())
+    assert int((g != 0).sum()) > 100  # support on the crossing cells
+    eps = 1e-3 * res
+    fd = float((mean_radius(d0 + eps) - mean_radius(d0 - eps)) / (2 * eps))
+    ad = float(g.sum())  # directional derivative along a uniform shift
+    np.testing.assert_allclose(ad, fd, rtol=1e-3)
+    # Inflating the field pulls the zero crossing inward ~1:1.
+    np.testing.assert_allclose(ad, -1.0, atol=0.15)

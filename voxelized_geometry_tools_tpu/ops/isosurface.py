@@ -33,6 +33,14 @@ Design (TPU-first):
 The vertex lattice is the grid of CELL CENTERS (values live at centers,
 grid.py), so the surface spans ``[0.5*res, (n-0.5)*res]`` per axis in grid
 frame; ``frame="world"`` applies the SDF origin transform.
+
+Extraction is DIFFERENTIABLE in the field values: crossing positions are
+smooth in the corner values (``t = va/(va-vb)``), so vertex-based losses
+(mesh-space chamfer, area regularizers, ...) flow gradients back to the
+voxel field — validated against finite differences in
+tests/test_isosurface.py (case selection is piecewise constant, so the
+gradient exists away from sign-change boundaries, like any level-set
+parameterization).
 """
 
 from __future__ import annotations
