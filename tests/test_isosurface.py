@@ -307,3 +307,47 @@ def test_extraction_is_differentiable_in_field_values():
     np.testing.assert_allclose(ad, fd, rtol=1e-3)
     # Inflating the field pulls the zero crossing inward ~1:1.
     np.testing.assert_allclose(ad, -1.0, atol=0.15)
+
+
+def test_nonfinite_cells_emit_nothing():
+    """Tets touching +-inf/NaN cells (oob padding of partially observed
+    fields) must emit NO triangles — neither NaN vertices nor fabricated
+    walls — and the rest of the surface must be unaffected."""
+    n, res = 12, 0.1
+    spec = GridSpec.from_voxel_counts(res, (n, n, n))
+    ax = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+    r = jnp.sqrt(ax[:, None, None] ** 2 + ax[None, :, None] ** 2
+                 + ax[None, None, :] ** 2)
+    d = (r - 3.5) * res
+    # Pad one boundary plane with +inf and poison one far cell with NaN.
+    d = d.at[0].set(jnp.inf).at[-1, -1, -1].set(jnp.nan)
+    sdf = SignedDistanceField.create(spec, d, locked=True)
+    m = isosurface.extract_isosurface(sdf, max_triangles=4096, frame="grid")
+    v = np.asarray(m.vertices)[np.asarray(m.valid)]
+    assert len(v) > 0
+    assert np.isfinite(v).all()
+    # The sphere's surface does not reach the padded plane; counts match
+    # the unpadded extraction exactly.
+    clean = isosurface.extract_isosurface(
+        sdf.replace(distances=jnp.asarray((np.asarray(r) - 3.5) * res)),
+        max_triangles=4096, frame="grid")
+    assert int(m.num_triangles) == int(clean.num_triangles)
+    # A crossing pair straddling an inf cell emits nothing (no wall).
+    d2 = jnp.full((4, 4, 4), jnp.inf).at[2, 1, 1].set(-1.0)
+    sdf2 = SignedDistanceField.create(
+        GridSpec.from_voxel_counts(res, (4, 4, 4)), d2)
+    m2 = isosurface.extract_isosurface(sdf2, max_triangles=64)
+    assert int(m2.num_triangles) == 0
+    assert np.isfinite(np.asarray(m2.vertices)).all()  # no NaN buffer rows
+
+
+def test_weld_and_stats_reject_overflowed():
+    sdf, _ = _sphere_sdf()
+    small = isosurface.extract_isosurface(sdf, max_triangles=64)
+    assert bool(small.overflowed)
+    with pytest.raises(ValueError, match="overflowed"):
+        isosurface.weld_vertices(small)
+    with pytest.raises(ValueError, match="overflowed"):
+        isosurface.mesh_statistics(small)
+    with pytest.raises(ValueError, match="overflowed"):
+        isosurface.save_obj("/tmp/should_not_exist.obj", small)

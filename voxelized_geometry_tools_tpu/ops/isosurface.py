@@ -180,6 +180,12 @@ def _extract_planes(d: Array, n_slabs: int, n_valid_slabs, x_base,
         inside = (tv < 0.0).astype(jnp.int32)
         mask = (inside[:, 0] + 2 * inside[:, 1] + 4 * inside[:, 2]
                 + 8 * inside[:, 3])       # [6, cy, cz]
+        # Suppress tets touching non-finite values (+-inf oob padding /
+        # NaN): an inf endpoint makes t = inf/inf = NaN and the emitted
+        # triangle would be garbage marked valid. Zeroing the case index
+        # emits nothing there — the conservative reading of "no surface
+        # through unobserved cells".
+        mask = jnp.where(jnp.isfinite(tv).all(axis=1), mask, 0)
 
         # Edge crossing points for every (tet, edge): linear interpolation
         # between the endpoint values. Non-crossing edges produce garbage
@@ -239,14 +245,40 @@ def _extract_planes(d: Array, n_slabs: int, n_valid_slabs, x_base,
 
     # Derive the init carry from the inputs so its varying manual axes
     # match the body outputs under shard_map (same pattern as
-    # render.march_while).
-    z = d.reshape(-1)[0] * 0.0
+    # render.march_while). The finiteness guard keeps the zero a ZERO when
+    # the first voxel is +-inf/NaN (inf * 0 = NaN would poison every
+    # unwritten buffer row).
+    x0 = d.reshape(-1)[0]
+    z = jnp.where(jnp.isfinite(x0), x0, 0.0) * 0.0
     verts0 = jnp.zeros((cap + 1, 3, 3), jnp.float32) + z
     valid0 = (jnp.zeros((cap + 1,), jnp.float32) + z) > 0.0
     count0 = jnp.int32(0) + jnp.asarray(n_valid_slabs, jnp.int32) * 0
     verts, valid, count = lax.fori_loop(
         0, n_slabs, slab, (verts0, valid0, count0))
     return verts[:cap], valid[:cap], count
+
+
+def _validated_field(sdf: SignedDistanceField, level, frame: str) -> Array:
+    """Shared prologue of the single-device and sharded extractors: frame
+    validation, uniform-voxel enforcement, level shift."""
+    if frame not in ("world", "grid"):
+        raise ValueError(f"frame must be 'world' or 'grid', got {frame!r}")
+    spec = sdf.spec
+    spec.enforce_uniform_voxel_size()
+    nx, ny, nz = spec.shape
+    if min(nx, ny, nz) < 2:
+        raise ValueError("isosurface extraction needs >= 2 voxels per axis")
+    return sdf.distances.astype(jnp.float32) - jnp.float32(level)
+
+
+def _verts_to_frame(verts: Array, sdf: SignedDistanceField,
+                    frame: str) -> Array:
+    """Shared epilogue: apply the origin transform for ``frame="world"``."""
+    if frame == "world":
+        flat = verts.reshape(-1, 3)
+        flat = transforms.apply_isometry(sdf.origin_transform, flat)
+        verts = flat.reshape(-1, 3, 3)
+    return verts
 
 
 def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
@@ -256,26 +288,16 @@ def extract_isosurface(sdf: SignedDistanceField, level: float = 0.0,
 
     ``frame`` is ``"world"`` (apply the SDF origin transform) or ``"grid"``.
     Jit-compatible (``max_triangles``/``level``/``frame`` static). A cell
-    is "inside" iff ``distance - level < 0``; surfaces through NaN/inf
-    cells (e.g. the +inf oob padding of partially observed fields) are
-    suppressed because comparisons with them never produce a crossing pair.
+    is "inside" iff ``distance - level < 0``; tets touching NaN/inf cells
+    (e.g. the +inf oob padding of partially observed fields) emit NOTHING —
+    their case index is forced to the empty case, so unobserved regions
+    produce neither fabricated walls nor NaN vertices.
     """
-    if frame not in ("world", "grid"):
-        raise ValueError(f"frame must be 'world' or 'grid', got {frame!r}")
-    spec = sdf.spec
-    spec.enforce_uniform_voxel_size()
-    nx, ny, nz = spec.shape
-    if min(nx, ny, nz) < 2:
-        raise ValueError("isosurface extraction needs >= 2 voxels per axis")
-    cx = nx - 1
-    d = sdf.distances.astype(jnp.float32) - jnp.float32(level)
+    d = _validated_field(sdf, level, frame)
+    cx = sdf.spec.num_x - 1
     verts, valid, count = _extract_planes(
-        d, cx, cx, 0.0, spec.resolution, int(max_triangles))
-
-    if frame == "world":
-        flat = verts.reshape(-1, 3)
-        flat = transforms.apply_isometry(sdf.origin_transform, flat)
-        verts = flat.reshape(-1, 3, 3)
+        d, cx, cx, 0.0, sdf.spec.resolution, int(max_triangles))
+    verts = _verts_to_frame(verts, sdf, frame)
     return IsoMesh(vertices=verts, valid=valid, num_triangles=count)
 
 
@@ -288,7 +310,17 @@ def weld_vertices(iso_mesh: IsoMesh, tolerance: float = 1e-6):
     ``(vertices [V, 3] f64, faces [F, 3] i64)`` with degenerate faces
     (repeated welded indices — the zero-area slivers marching tets can
     emit when a crossing lands on a lattice vertex) dropped.
+
+    Raises on an overflowed (truncated) mesh: welding a partial soup would
+    silently produce a holed surface — re-extract with more capacity.
+    (Sharded meshes: a single shard can drop triangles while the aggregate
+    ``overflowed`` stays False — check the returned ``shard_counts``
+    against the per-shard capacity first.)
     """
+    if bool(iso_mesh.overflowed):
+        raise ValueError(
+            f"IsoMesh overflowed its capacity ({int(iso_mesh.num_triangles)}"
+            f" > {iso_mesh.capacity}) — re-extract with more max_triangles")
     v = np.asarray(iso_mesh.vertices)[np.asarray(iso_mesh.valid)]
     if v.size == 0:
         return np.zeros((0, 3), np.float64), np.zeros((0, 3), np.int64)
@@ -344,8 +376,13 @@ def mesh_statistics(iso_mesh: IsoMesh):
     Area is the summed triangle areas; volume uses the divergence theorem
     (sum of signed origin-apex tetrahedron volumes — exact for any closed
     mesh with outward winding, which the gradient-aligned flip guarantees
-    for SDF level sets). Returns ``(area, volume)`` floats.
+    for SDF level sets). Returns ``(area, volume)`` floats. Raises on an
+    overflowed mesh (a truncated shell has no meaningful volume).
     """
+    if bool(iso_mesh.overflowed):
+        raise ValueError(
+            f"IsoMesh overflowed its capacity ({int(iso_mesh.num_triangles)}"
+            f" > {iso_mesh.capacity}) — re-extract with more max_triangles")
     v = np.asarray(iso_mesh.vertices)[np.asarray(iso_mesh.valid)]
     if v.size == 0:
         return 0.0, 0.0

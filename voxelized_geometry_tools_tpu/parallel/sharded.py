@@ -182,19 +182,16 @@ def sharded_extract_isosurface(sdf: SignedDistanceField, mesh: Mesh,
     overflow while the total stays under capacity)."""
     from ..ops import isosurface as iso_ops
 
-    if frame not in ("world", "grid"):
-        raise ValueError(f"frame must be 'world' or 'grid', got {frame!r}")
+    d = iso_ops._validated_field(sdf, level, frame)
     spec = sdf.spec
-    spec.enforce_uniform_voxel_size()
     n_shards = mesh.shape[axis_name]
-    nx, ny, nz = spec.shape
+    nx = spec.num_x
     if nx % n_shards:
         raise ValueError(f"the mesh axis size {n_shards} must divide "
                          f"nx ({nx})")
-    if min(nx // n_shards, ny, nz) < 2 or nx < 2:
-        raise ValueError("shards need >= 2 planes per axis")
+    if nx // n_shards < 2:
+        raise ValueError("shards need >= 2 planes each")
     cap = int(max_triangles_per_shard)
-    d = sdf.distances.astype(jnp.float32) - jnp.float32(level)
 
     def local_extract(d_local):
         sx = d_local.shape[0]
@@ -213,11 +210,7 @@ def sharded_extract_isosurface(sdf: SignedDistanceField, mesh: Mesh,
                    in_specs=P(axis_name),
                    out_specs=(P(axis_name), P(axis_name), P(axis_name)))
     verts, valid, counts = fn(d)
-
-    if frame == "world":
-        flat = verts.reshape(-1, 3)
-        flat = transforms.apply_isometry(sdf.origin_transform, flat)
-        verts = flat.reshape(-1, 3, 3)
+    verts = iso_ops._verts_to_frame(verts, sdf, frame)
     m = iso_ops.IsoMesh(vertices=verts, valid=valid,
                         num_triangles=jnp.sum(counts))
     return m, counts
