@@ -403,12 +403,12 @@ def test_cone_prepass_scan_path(sphere_sdf, corner_table):
     cone = render.render_depth(sphere_sdf, cam, num_steps=128,
                                corner_table=corner_table, coarse_factor=4)
     _check_cone_equiv(base, cone, sphere_sdf)
-    # Non-divisible factor silently disables the prepass — THAT path stays
-    # bitwise identical to the plain march.
-    odd = render.render_depth(sphere_sdf, cam, num_steps=128,
-                              corner_table=corner_table, coarse_factor=7)
-    np.testing.assert_allclose(np.asarray(odd.depth),
-                               np.asarray(base.depth), atol=1e-6)
+    # A non-dividing factor raises (matching render_depth_batch) instead of
+    # silently disabling the prepass — a silent multi-x throughput
+    # regression with no signal.
+    with pytest.raises(ValueError, match="coarse_factor"):
+        render.render_depth(sphere_sdf, cam, num_steps=128,
+                            corner_table=corner_table, coarse_factor=7)
 
 
 def test_render_depth_batch_matches_per_view(sphere_sdf, corner_table):
@@ -481,3 +481,36 @@ def test_block_tail_cone_steps_budget(sphere_sdf, corner_table):
         _check_cone_equiv(base, r, sphere_sdf)
         np.testing.assert_array_equal(np.asarray(base.hit),
                                       np.asarray(r.hit))
+
+
+def test_mip_skip_grazing_band():
+    """A far tiny obstacle with grazing silhouette rays: the mip skip must
+    never LOSE a hit relative to the plain march (jumps shrink by the
+    convergence band), for the default and a loose surface threshold; the
+    unshrunk jump leapfrogged grazing query<=thresh dips and flipped hits
+    on exactly this scene."""
+    res = 0.1
+    nx, ny, nz = 16, 16, 256
+    spec = GridSpec.from_voxel_counts(res, (nx, ny, nz))
+    ii, jj, kk = jnp.meshgrid(jnp.arange(nx, dtype=jnp.float32),
+                              jnp.arange(ny, dtype=jnp.float32),
+                              jnp.arange(nz, dtype=jnp.float32),
+                              indexing="ij")
+    d = (jnp.sqrt((ii - 8.0) ** 2 + (jj - 8.0) ** 2
+                  + (kk - 240.0) ** 2) - 3.0) * res
+    from voxelized_geometry_tools_tpu.core.maps import SignedDistanceField
+    sdf = SignedDistanceField.create(spec, d, locked=True)
+    mip = render.build_sdf_mip(sdf, factor=8)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0.8, 0.8, -6.0)
+    cam = render.PinholeCamera.create(pose, 96, 96, focal=700.0)
+    for thresh in (0.25 * res, 2 * res):
+        kw = dict(num_steps=256, early_exit=True, surface_threshold=thresh)
+        base = render.render_depth(sdf, cam, **kw)
+        fast = render.render_depth(sdf, cam, mip=mip, coarse_steps=64, **kw)
+        bh, fh = np.asarray(base.hit), np.asarray(fast.hit)
+        assert bh.sum() > 100
+        assert not (bh & ~fh).any(), "mip skip lost hits"
+        m = bh & fh
+        dd = np.abs(np.asarray(base.depth)[m] - np.asarray(fast.depth)[m])
+        assert float(dd.max()) <= 2 * thresh + 1e-5

@@ -51,10 +51,14 @@ class PinholeCamera:
 
     @staticmethod
     def create(pose, width: int, height: int,
-               focal: float = None, fx=None, fy=None, cx=None, cy=None
-               ) -> "PinholeCamera":
+               focal: Optional[float] = None, fx=None, fy=None,
+               cx=None, cy=None) -> "PinholeCamera":
         if focal is not None:
             fx = fy = focal
+        if fx is None or fy is None:
+            raise ValueError(
+                "PinholeCamera.create needs focal= (sets both) or fx= and "
+                "fy= explicitly")
         if cx is None:
             cx = (width - 1) / 2.0
         if cy is None:
@@ -197,9 +201,12 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
       leave False (the default) when differentiating through the render.
     * ``mip``: a prebuilt :class:`SdfMip` — rays first skip empty space with
       up to ``coarse_steps`` conservative coarse-block jumps (cheap
-      nearest-neighbor gathers from the small mip table, guaranteed not to
-      cross the surface), then fine sphere tracing runs as usual. Inference-
-      only (while_loop; no gradient contribution from the skip phase).
+      nearest-neighbor gathers from the small mip table; jumps shrink by
+      the convergence band ``thresh + (sqrt(3)/2)*res`` so they can neither
+      cross the surface nor leapfrog a grazing ``query <= thresh`` dip).
+      Same contract as the cone prepass: hits are a SUPERSET of the plain
+      march's and common depths agree within the convergence threshold.
+      Inference-only (while_loop; no gradient contribution from the skip).
     * ``head_steps`` / ``tail_chunks`` (early_exit mode only): after
       ``head_steps`` full-width fine steps, still-alive rays (typically the
       silhouette-grazing few percent) are compacted to the front by a stable
@@ -267,11 +274,20 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     if mip is not None:
         # Empty-space skip: advance each ray by the conservative coarse
         # lower bound until the bound says the surface is within one block.
+        # The jump must shrink by the CONVERGENCE BAND, not just the true
+        # surface: the fine march converges where the corrected query dips
+        # <= thresh, i.e. anywhere the metric distance D <= thresh + delta
+        # (|query - D| <= delta). mip.values already cover delta's
+        # half-voxel terms; the remaining uncovered band is
+        # thresh + (sqrt(3)/2) * res, and an unshrunk jump could leapfrog a
+        # grazing dip entirely (hits flipped on a far-obstacle scene,
+        # test_mip_skip_grazing_band).
         inv = sdf.inverse_origin_transform()
         ncx, ncy, ncz = mip.coarse_counts
         block = jnp.float32(mip.block_size)
         switch = jnp.float32(mip.block_size)
-        coarse_eps = jnp.float32(0.25 * mip.block_size)
+        band = thresh + jnp.float32(
+            0.5 * float(np.sqrt(3.0)) * sdf.resolution)
 
         def coarse_bound(t):
             pos = origins + dirs * t[..., None]
@@ -288,10 +304,9 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
 
         def skip_body(carry):
             i, t, skipping = carry
-            bound = coarse_bound(t)
-            can_skip = bound > switch
-            new_t = jnp.where(skipping & can_skip,
-                              t + jnp.maximum(bound, coarse_eps), t)
+            advance = coarse_bound(t) - band
+            can_skip = advance > switch
+            new_t = jnp.where(skipping & can_skip, t + advance, t)
             still = skipping & can_skip & (new_t < t_stop)
             return i + 1, new_t, still
 
@@ -469,7 +484,8 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
                   surface_threshold: float, max_depth: float,
                   corner_table: Optional[sdf_query.CornerTable],
                   max_cone_steps: Optional[int] = None,
-                  cone_tail_chunks: int = 1) -> Array:
+                  cone_tail_chunks: int = 1
+                  ) -> Tuple[Array, Array, Array, Array]:
     """Cone-traced coarse pass: one ray per ``factor x factor`` pixel block,
     advanced only while the SDF sample exceeds the cone radius — so the
     returned per-block depth ``T`` certifies that NO fine ray in the block
@@ -585,6 +601,11 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     # ``d(face) - |pre-entry distance|``, which kills the cone whenever the
     # slack exceeds the face's clearance.
     t_enter_c, t_exit_c, hits_c = _clip_to_grid(sdf, origins, center)
+    # Cap the cone at max_depth: fine rays stop at min(exit, max_depth)
+    # too (sphere_trace), so "crossed the cap still-safe" is as valid an
+    # escape certificate as crossing the exit — and deep scenes stop
+    # burning cone budget past depths nothing will march to.
+    t_exit_c = jnp.minimum(t_exit_c, jnp.float32(max_depth))
     t_start = jnp.maximum(t_enter_c, 0.0)
     # Safety margin. The certificate must bound the INTERPOLATED corrected
     # query (what the fine march converges on), which is NOT 1-Lipschitz —
@@ -712,6 +733,41 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     return t_img, valid_img, slow_img, esc_img
 
 
+def block_relayout(height: int, width: int, factor: int,
+                   batch: Optional[int] = None):
+    """``(to_blocks, from_blocks)`` for the block-tail schedule: lay a
+    ``[..., height, width, *rest]`` image out so each ``factor x factor``
+    cone block is one contiguous run of rays (the ``sort_block`` unit of
+    :func:`sphere_trace`), and back. One definition serves the single-view,
+    batched, and sharded renderers — the layouts must stay mutually
+    consistent with ``sort_block`` semantics."""
+    f = int(factor)
+    hb, wb = height // f, width // f
+    if batch is None:
+        def to_blocks(x):
+            rest = x.shape[2:]
+            return x.reshape(hb, f, wb, f, *rest).swapaxes(1, 2) \
+                .reshape(hb * wb * f * f, *rest)
+
+        def from_blocks(x):
+            rest = x.shape[1:]
+            return x.reshape(hb, wb, f, f, *rest).swapaxes(1, 2) \
+                .reshape(height, width, *rest)
+    else:
+        b = int(batch)
+
+        def to_blocks(x):
+            rest = x.shape[3:]
+            return x.reshape(b, hb, f, wb, f, *rest).swapaxes(2, 3) \
+                .reshape(b * hb * wb * f * f, *rest)
+
+        def from_blocks(x):
+            rest = x.shape[1:]
+            return x.reshape(b, hb, wb, f, f, *rest).swapaxes(2, 3) \
+                .reshape(b, height, width, *rest)
+    return to_blocks, from_blocks
+
+
 def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                  num_steps: int = 64, max_depth: float = 100.0,
                  surface_threshold: Optional[float] = None,
@@ -738,8 +794,13 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
     see :func:`_cone_prepass`)."""
     origins, dirs = camera_rays(camera)
     t_init = t_valid_from = sort_key = cert_miss = None
-    if coarse_factor and camera.width % coarse_factor == 0 \
-            and camera.height % coarse_factor == 0:
+    if coarse_factor:
+        if camera.width % coarse_factor or camera.height % coarse_factor:
+            # Silent fallback here would be a multi-x throughput regression
+            # with no signal; render_depth_batch already raises.
+            raise ValueError(
+                f"coarse_factor={coarse_factor} must divide the image "
+                f"dimensions {camera.width}x{camera.height}")
         thresh = (0.25 * sdf.resolution if surface_threshold is None
                   else float(surface_threshold))
         t_init, t_valid_from, cone_slow, cert_miss = _cone_prepass(
@@ -774,17 +835,8 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
         # are relayouted back — semantics identical, the permute cost
         # drops ~f^2-fold and certified-miss blocks never enter the tail.
         f = int(coarse_factor)
-        hb, wb = camera.height // f, camera.width // f
-
-        def to_blocks(x):
-            rest = x.shape[2:]
-            return x.reshape(hb, f, wb, f, *rest).swapaxes(1, 2) \
-                .reshape(hb * wb * f * f, *rest)
-
-        def from_blocks(x):
-            rest = x.shape[1:]
-            return x.reshape(hb, wb, f, f, *rest).swapaxes(1, 2) \
-                .reshape(camera.height, camera.width, *rest)
+        to_blocks, from_blocks = block_relayout(
+            camera.height, camera.width, f)
 
         result = sphere_trace(
             sdf, to_blocks(origins), to_blocks(dirs), num_steps=num_steps,
@@ -854,16 +906,7 @@ def render_depth_batch(sdf: SignedDistanceField, cameras: PinholeCamera,
     sort_key = lax.stop_gradient(cone_slow)
     cert_miss = lax.stop_gradient(cert_miss)
     b = t_init.shape[0]
-
-    def to_blocks(x):
-        rest = x.shape[3:]
-        return x.reshape(b, hb, f, wb, f, *rest).swapaxes(2, 3) \
-            .reshape(b * hb * wb * f * f, *rest)
-
-    def from_blocks(x):
-        rest = x.shape[1:]
-        return x.reshape(b, hb, wb, f, f, *rest).swapaxes(2, 3) \
-            .reshape(b, h, w, *rest)
+    to_blocks, from_blocks = block_relayout(h, w, f, batch=b)
 
     result = sphere_trace(
         sdf, to_blocks(origins), to_blocks(dirs), num_steps=num_steps,
@@ -878,11 +921,15 @@ def render_depth_batch(sdf: SignedDistanceField, cameras: PinholeCamera,
 
 def render_occupancy_image(sdf: SignedDistanceField, camera: PinholeCamera,
                            num_steps: int = 64, max_depth: float = 100.0,
-                           softness: float = 1.0) -> Array:
+                           softness: float = 1.0, **render_kwargs) -> Array:
     """Soft silhouette: sigmoid of the final SDF sample — a smooth hit mask
-    whose gradients reach voxels even for near-miss rays."""
+    whose gradients reach voxels even for near-miss rays.
+    ``render_kwargs`` forward to :func:`render_depth` (``corner_table``,
+    ``remat``, ``early_exit``, schedule knobs, ...) so silhouette fitting
+    can use the fast sampling path and bound backward-pass memory like
+    every other entry point."""
     result = render_depth(sdf, camera, num_steps=num_steps,
-                          max_depth=max_depth)
+                          max_depth=max_depth, **render_kwargs)
     scale = jnp.float32(softness * sdf.resolution)
     d = jnp.where(jnp.isfinite(result.distance), result.distance,
                   10.0 * scale)

@@ -373,17 +373,7 @@ def sharded_render_depth(sdf: SignedDistanceField,
             # so every cone block is shard-local; semantics identical.
             f = int(coarse_factor)
             lh, lw = local_origins.shape[:2]
-            hb, wb = lh // f, lw // f
-
-            def to_blocks(x):
-                rest = x.shape[2:]
-                return x.reshape(hb, f, wb, f, *rest).swapaxes(1, 2) \
-                    .reshape(hb * wb * f * f, *rest)
-
-            def from_blocks(x):
-                rest = x.shape[1:]
-                return x.reshape(hb, wb, f, f, *rest).swapaxes(1, 2) \
-                    .reshape(lh, lw, *rest)
+            to_blocks, from_blocks = render_ops.block_relayout(lh, lw, f)
 
             local_origins = to_blocks(local_origins)
             local_dirs = to_blocks(local_dirs)
