@@ -292,3 +292,23 @@ def test_double_scalar_type():
         warnings.simplefilter("ignore", UserWarning)
         loaded32 = serialization.from_file_bytes(blob)
     assert np.asarray(loaded32.distances).dtype == np.float32
+
+
+def test_streamed_edt_prime_and_anisotropic_shapes():
+    """Prime dimensions take the PAD schedule (a divisor-poor axis must not
+    serialize into slab=1 loops), and anisotropic grids slab over their
+    LARGEST perpendicular axis — both must stay bit-identical to dense."""
+    rng = np.random.default_rng(13)
+    for shape in [(13, 17, 19), (4, 40, 6), (40, 4, 6), (6, 4, 40)]:
+        seed = rng.random(shape) < 0.05
+        seed[tuple(s // 2 for s in shape)] = True
+        dense = np.asarray(edt.squared_edt(jnp.asarray(seed),
+                                           backend="xla"))
+        streamed = np.asarray(edt.squared_edt_streamed(
+            jnp.asarray(seed), slab=8, backend="xla"))
+        np.testing.assert_array_equal(dense, streamed)
+    # The pad branch is actually exercised for a prime axis: 8 has no
+    # divisor of 13/17/19 above 8//2.
+    assert edt._slab_schedule(13, 8) == (8, 3)
+    assert edt._slab_schedule(16, 8) == (8, 0)
+    assert edt._slab_schedule(20, 8) == (5, 0)

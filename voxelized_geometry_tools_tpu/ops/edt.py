@@ -115,6 +115,10 @@ def _resolve_edt_backend(backend: str, counts) -> str:
     n_lines = 1
     for c in counts[:-1]:
         n_lines *= int(c)
+    # Caveat: keyed off the PROCESS default backend, not the lowering
+    # target — jax.jit(..., backend="cpu") on a TPU host still resolves to
+    # the Mosaic kernel and fails to lower. Pass backend="xla" explicitly
+    # when cross-lowering.
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and counts[-1] >= 128 and n_lines >= 1024:
         return "pallas-bestfirst"
@@ -224,20 +228,53 @@ def _largest_divisor_at_most(n: int, target: int) -> int:
     return 1
 
 
+def _slab_schedule(n: int, target: int):
+    """``(slab, pad)`` with ``slab <= target`` and ``(n + pad) % slab == 0``.
+
+    Prefers an exact divisor near the target; for divisor-poor dimensions
+    (primes) it PADS instead of degrading to slab=1 (which would serialize
+    the pass n-fold and drop per-slab line counts below the Pallas
+    auto-backend threshold). Overlapping slabs are NOT an option: the
+    envelope is not idempotent — re-enveloping a line inf-convolves the
+    parabola kernel twice and shrinks distances. Padded lines are
+    independent of real ones (the slab axis is perpendicular to the pass
+    axis), so their values never mix."""
+    n, target = int(n), max(1, min(int(target), int(n)))
+    s = _largest_divisor_at_most(n, target)
+    if s >= max(1, target // 2):
+        return s, 0
+    return target, (-n) % target
+
+
+def _streamed_slab_axis(shape, pass_axis: int) -> int:
+    """Largest axis perpendicular to the pass axis — slabbing a small
+    perpendicular axis would degenerate to one whole-grid slab and forfeit
+    the bounded-memory guarantee on anisotropic grids."""
+    return max((a for a in range(3) if a != pass_axis),
+               key=lambda a: shape[a])
+
+
 def _streamed_binary_axis0(seed: Array, slab_target: int) -> Array:
-    """Axis-0 binary pass streamed in Z slabs (transients slab-sized)."""
-    nz = seed.shape[2]
-    slab = _largest_divisor_at_most(nz, slab_target)
+    """Axis-0 binary pass streamed in slabs (transients slab-sized)."""
+    s_ax = _streamed_slab_axis(seed.shape, 0)
+    n_s = seed.shape[s_ax]
+    slab, pad = _slab_schedule(n_s, slab_target)
+    src = seed
+    if pad:
+        cfg = [(0, 0)] * 3
+        cfg[s_ax] = (0, pad)
+        src = jnp.pad(seed, cfg)
 
     def body(i, acc):
         start = i * slab
-        sl = lax.dynamic_slice_in_dim(seed, start, slab, axis=2)
+        sl = lax.dynamic_slice_in_dim(src, start, slab, axis=s_ax)
         d = jnp.moveaxis(_binary_squared_dist_last(
             jnp.moveaxis(sl, 0, -1)), -1, 0)
-        return lax.dynamic_update_slice_in_dim(acc, d, start, axis=2)
+        return lax.dynamic_update_slice_in_dim(acc, d, start, axis=s_ax)
 
-    out = jnp.zeros(seed.shape, jnp.float32)
-    return lax.fori_loop(0, nz // slab, body, out)
+    out = jnp.zeros(src.shape, jnp.float32)
+    out = lax.fori_loop(0, (n_s + pad) // slab, body, out)
+    return lax.slice_in_dim(out, 0, n_s, axis=s_ax) if pad else out
 
 
 def _streamed_envelope_axis(d: Array, axis: int, slab_target: int,
@@ -249,9 +286,13 @@ def _streamed_envelope_axis(d: Array, axis: int, slab_target: int,
     envelopes it, and writes it back in place (XLA aliases loop carries), so
     peak memory is ONE full grid plus a slab. Identical per-line math ->
     bit-identical results."""
-    s_ax = 0 if axis != 0 else 2
+    s_ax = _streamed_slab_axis(d.shape, axis)
     n_s = d.shape[s_ax]
-    slab = _largest_divisor_at_most(n_s, slab_target)
+    slab, pad = _slab_schedule(n_s, slab_target)
+    if pad:
+        cfg = [(0, 0)] * 3
+        cfg[s_ax] = (0, pad)
+        d = jnp.pad(d, cfg)
 
     def body(i, acc):
         start = i * slab
@@ -261,7 +302,8 @@ def _streamed_envelope_axis(d: Array, axis: int, slab_target: int,
         sl = jnp.moveaxis(sl, -1, axis)
         return lax.dynamic_update_slice_in_dim(acc, sl, start, axis=s_ax)
 
-    return lax.fori_loop(0, n_s // slab, body, d)
+    d = lax.fori_loop(0, (n_s + pad) // slab, body, d)
+    return lax.slice_in_dim(d, 0, n_s, axis=s_ax) if pad else d
 
 
 def squared_edt_streamed(seed: Array, slab: int = 128, block: int = 512,
@@ -334,9 +376,8 @@ def signed_distance_with_virtual_border(is_filled: Array, resolution: float,
     free_sdf = free_sdf[crop]
     filled_sdf = filled_sdf[crop]
 
-    # Merge rule (hpp:265-276).
-    return jnp.where(free_sdf >= 0.0, free_sdf,
-                     jnp.where(filled_sdf <= -0.0, filled_sdf, 0.0))
+    # Merge rule (hpp:265-276) — same rule as the free/named-object merge.
+    return merge_free_and_named_object_sdfs(free_sdf, filled_sdf)
 
 
 def filled_mask_from_occupancy(occupancy: Array,
@@ -394,6 +435,10 @@ def extract_signed_distance_field(
     bounded HBM transients — how 1024^3 fits one chip); ``None`` enables it
     automatically for grids >= 640^3 voxels.
     """
+    # Fail fast: SignedDistanceField.create would reject a non-uniform spec
+    # anyway, but only AFTER the (minutes-long at 1024^3) EDT pipeline has
+    # compiled and dispatched.
+    spec.enforce_uniform_voxel_size()
     mask = jnp.asarray(is_filled, dtype=bool)
     if streaming is None:
         streaming = spec.num_total >= _STREAMING_AUTO_VOXELS
