@@ -247,3 +247,24 @@ def test_sharded_isosurface_matches_single_device(mesh8):
             s, mesh8, max_triangles_per_shard=8))(sdf)
     assert (np.asarray(small_counts) > 8).any()
     assert int(small.num_triangles) == int(single.num_triangles)
+
+
+def test_sharded_render_pair_table_matches(mesh8):
+    """The sharded renderer's row-width table dispatch (2 -> z-pair table)
+    must give the same depths as the brick table and the plain render."""
+    from voxelized_geometry_tools_tpu.ops import sdf_query
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    pair = sdf_query.build_corner_pair_table(sdf)
+    assert pair.rows.shape[-1] == 2
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    camera = render.PinholeCamera.create(pose, width=24, height=16,
+                                         focal=20.0)
+    single = render.render_depth(sdf, camera, num_steps=32).depth
+    multi = sharded.sharded_render_depth(
+        sdf, camera, mesh8, num_steps=32, corner_table=pair,
+        early_exit=True)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=1e-5)

@@ -23,7 +23,7 @@ Design:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,11 @@ from ..core.maps import SignedDistanceField
 from . import sdf_query
 
 Array = jnp.ndarray
+
+# Either acceleration table works on every render path (the pair table is
+# the large-grid variant; estimate_location_distance_fast dispatches on
+# row width).
+_AnyCornerTable = Union[sdf_query.CornerTable, sdf_query.CornerPairTable]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,7 +168,7 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  surface_threshold: Optional[float] = None,
                  max_depth: float = 100.0,
                  step_scale: float = 1.0,
-                 corner_table: Optional[sdf_query.CornerTable] = None,
+                 corner_table: Optional[_AnyCornerTable] = None,
                  early_exit: bool = False,
                  mip: Optional[SdfMip] = None,
                  coarse_steps: int = 64,
@@ -482,7 +487,7 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
 def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
                   factor: int, num_steps: int,
                   surface_threshold: float, max_depth: float,
-                  corner_table: Optional[sdf_query.CornerTable],
+                  corner_table: Optional[_AnyCornerTable],
                   max_cone_steps: Optional[int] = None,
                   cone_tail_chunks: int = 1
                   ) -> Tuple[Array, Array, Array, Array]:
@@ -771,7 +776,7 @@ def block_relayout(height: int, width: int, factor: int,
 def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                  num_steps: int = 64, max_depth: float = 100.0,
                  surface_threshold: Optional[float] = None,
-                 corner_table: Optional[sdf_query.CornerTable] = None,
+                 corner_table: Optional[_AnyCornerTable] = None,
                  early_exit: bool = False,
                  mip: Optional[SdfMip] = None,
                  coarse_factor: int = 0,
@@ -860,7 +865,7 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
 def render_depth_batch(sdf: SignedDistanceField, cameras: PinholeCamera,
                        num_steps: int = 64, max_depth: float = 100.0,
                        surface_threshold: Optional[float] = None,
-                       corner_table: Optional[sdf_query.CornerTable] = None,
+                       corner_table: Optional[_AnyCornerTable] = None,
                        coarse_factor: int = 4,
                        cone_steps: Optional[int] = None,
                        cone_tail_chunks: int = 1,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -75,14 +75,21 @@ def _axis_interp_indices(initial: Array, axis_size: int,
     return lower, upper
 
 
+def _pull_to_surface(d: Array, offset) -> Array:
+    """The corrected-center rule shared by the raw query path and BOTH
+    acceleration-table builders — one definition so a future change (e.g.
+    dtype handling, as in the round-1 double-precision fix) cannot
+    silently diverge between them."""
+    return jnp.where(d >= 0.0, d - offset, d + offset)
+
+
 def _corrected_center_distance(sdf: SignedDistanceField, idx: Array) -> Array:
     """``GetCorrectedCenterDistance`` (hpp:257-275): pull the stored distance
     half a cell toward the surface, since stored distances measure to cell
     centers, not boundaries. Computed in the field's own dtype (float or
     double, hpp:1268-1269)."""
     d = sdf.get_index(idx)
-    offset = d.dtype.type(sdf.resolution * 0.5)
-    return jnp.where(d >= 0.0, d - offset, d + offset)
+    return _pull_to_surface(d, d.dtype.type(sdf.resolution * 0.5))
 
 
 def estimate_distance_interpolate(sdf: SignedDistanceField, p_world: Array,
@@ -207,14 +214,23 @@ def build_corner_table(sdf: SignedDistanceField,
     dtype = d.dtype if dtype is None else jnp.dtype(dtype)
     nx, ny, nz = d.shape
     half = d.dtype.type(sdf.resolution * 0.5)
-    corrected = jnp.where(d >= 0.0, d - half, d + half)
-    padded = jnp.pad(corrected, ((0, 1), (0, 1), (0, 1)), mode="edge")
+
+    def plane(x):
+        # Correct + edge-pad PER PLANE inside the loop: a whole-grid
+        # corrected/padded copy as a loop operand would add ~2 full grids
+        # of transient on top of the rows buffer (OOM territory at the
+        # large sizes these tables serve). Edge-pad == clamped x+1 slice.
+        pl = _pull_to_surface(
+            lax.dynamic_slice(d, (x, 0, 0), (1, ny, nz))[0], half)
+        pl = jnp.concatenate([pl, pl[-1:, :]], axis=0)
+        return jnp.concatenate([pl, pl[:, -1:]], axis=1)  # [ny+1, nz+1]
 
     rows0 = jnp.zeros((nx * ny * nz, 8), dtype)
 
     def body(x, rows):
-        pl = lax.dynamic_slice(padded, (x, 0, 0), (2, ny + 1, nz + 1))
-        chans = [pl[dx, dy:dy + ny, dz:dz + nz]
+        p0 = plane(x)
+        p1 = plane(jnp.minimum(x + 1, nx - 1))
+        chans = [(p0 if dx == 0 else p1)[dy:dy + ny, dz:dz + nz]
                  for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
         plane_rows = jnp.stack(chans, axis=-1).reshape(ny * nz, 8)
         return lax.dynamic_update_slice(rows, plane_rows.astype(dtype),
@@ -251,13 +267,16 @@ def build_corner_pair_table(sdf: SignedDistanceField,
     dtype = d.dtype if dtype is None else jnp.dtype(dtype)
     nx, ny, nz = d.shape
     half = d.dtype.type(sdf.resolution * 0.5)
-    corrected = jnp.where(d >= 0.0, d - half, d + half)
-    padded = jnp.pad(corrected, ((0, 0), (0, 0), (0, 1)), mode="edge")
 
     rows0 = jnp.zeros((nx * ny * nz, 2), dtype)
 
     def body(x, rows):
-        pl = lax.dynamic_slice(padded, (x, 0, 0), (1, ny, nz + 1))[0]
+        # Correct + z-edge-pad per plane (see build_corner_table: a full-
+        # grid corrected+padded loop operand would push the build transient
+        # past HBM at exactly the 1024^3 scale this table exists for).
+        pl = _pull_to_surface(
+            lax.dynamic_slice(d, (x, 0, 0), (1, ny, nz))[0], half)
+        pl = jnp.concatenate([pl, pl[:, -1:]], axis=1)  # [ny, nz + 1]
         plane_rows = jnp.stack([pl[:, :nz], pl[:, 1:]],
                                axis=-1).reshape(ny * nz, 2)
         return lax.dynamic_update_slice(rows, plane_rows.astype(dtype),
@@ -267,9 +286,10 @@ def build_corner_pair_table(sdf: SignedDistanceField,
     return CornerPairTable(rows=rows)
 
 
-def estimate_location_distance_fast(sdf: SignedDistanceField,
-                                    table,
-                                    p_world: Array) -> DistanceQuery:
+def estimate_location_distance_fast(
+        sdf: SignedDistanceField,
+        table: Union[CornerTable, CornerPairTable],
+        p_world: Array) -> DistanceQuery:
     """`estimate_location_distance` semantics with ONE gather per sample
     (:class:`CornerTable`) or FOUR (:class:`CornerPairTable` — the
     large-grid table; both assemble the identical 8-corner vector, so the
