@@ -247,6 +247,20 @@ def test_sharded_isosurface_matches_single_device(mesh8):
             s, mesh8, max_triangles_per_shard=8))(sdf)
     assert (np.asarray(small_counts) > 8).any()
     assert int(small.num_triangles) == int(single.num_triangles)
+    # A single shard overflowing must trip the mesh's own overflow flag
+    # (shard_counts-aware) and hence the weld truncation guard — the
+    # aggregate total alone would NOT: 7344 < 8 * 8 is false here, but
+    # construct the dangerous case explicitly below.
+    assert bool(small.overflowed)
+    with pytest.raises(ValueError, match="overflowed"):
+        from voxelized_geometry_tools_tpu.ops import isosurface as iso
+        iso.weld_vertices(small)
+    # Dangerous case: totals fit the aggregate capacity, one shard drops.
+    skewed = small._replace(
+        num_triangles=jnp.int32(20),
+        shard_counts=jnp.asarray([20, 0, 0, 0, 0, 0, 0, 0], jnp.int32))
+    assert int(skewed.num_triangles) < skewed.capacity
+    assert bool(skewed.overflowed)
 
 
 def test_sharded_render_pair_table_matches(mesh8):
@@ -268,3 +282,28 @@ def test_sharded_render_pair_table_matches(mesh8):
         early_exit=True)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
                                atol=1e-5)
+
+
+def test_sharded_carve_run_axis_auto_eager(mesh8):
+    """run_axis='auto' with CONCRETE points (the backend layer's calling
+    convention) must resolve to the column carve and stay bit-exact with
+    both the explicit-axis column carve and the voxel walk."""
+    rng = np.random.default_rng(31)
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    pts = np.stack([rng.uniform(0.5, 3.5, 200), rng.uniform(0.5, 3.5, 200),
+                    np.full(200, 3.4)], -1).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (2.0, 2.0, 0.2)
+    cloud = voxelize.PointCloud.create(pts, pose)
+    auto = sharded.sharded_raycast_pointcloud(
+        spec, jnp.eye(4), cloud, mesh8)  # run_axis defaults to "auto"
+    explicit = sharded.sharded_raycast_pointcloud(
+        spec, jnp.eye(4), cloud, mesh8, run_axis=2)
+    walk = sharded.sharded_raycast_pointcloud(
+        spec, jnp.eye(4), cloud, mesh8, run_axis=None)
+    np.testing.assert_array_equal(np.asarray(auto.seen_free),
+                                  np.asarray(explicit.seen_free))
+    np.testing.assert_array_equal(np.asarray(auto.seen_free),
+                                  np.asarray(walk.seen_free))
+    np.testing.assert_array_equal(np.asarray(auto.seen_filled),
+                                  np.asarray(walk.seen_filled))

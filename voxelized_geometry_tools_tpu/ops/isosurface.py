@@ -45,7 +45,7 @@ parameterization).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -120,10 +120,18 @@ class IsoMesh(NamedTuple):
     ``num_triangles`` is the TRUE extraction count; when it exceeds the
     capacity, the buffer holds the first ``capacity`` triangles and
     ``overflowed`` is True — re-run with a larger ``max_triangles``.
+
+    ``shard_counts`` (set by the sharded extractor) carries per-shard true
+    counts: with per-shard compaction a SINGLE shard can drop triangles
+    while the aggregate total stays under capacity, so ``overflowed``
+    checks each shard against its own slice of the buffer rather than the
+    total — the weld/statistics truncation guards then work unchanged on
+    sharded meshes.
     """
     vertices: Array  # [max_triangles, 3, 3] f32 — triangle corners
     valid: Array  # [max_triangles] bool
     num_triangles: Array  # i32 scalar, true count (may exceed capacity)
+    shard_counts: Optional[Array] = None  # i32 [n_shards] true counts
 
     @property
     def capacity(self) -> int:
@@ -131,6 +139,9 @@ class IsoMesh(NamedTuple):
 
     @property
     def overflowed(self) -> Array:
+        if self.shard_counts is not None:
+            per_shard = self.capacity // self.shard_counts.shape[0]
+            return jnp.any(self.shard_counts > per_shard)
         return self.num_triangles > self.capacity
 
 

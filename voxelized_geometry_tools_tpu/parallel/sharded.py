@@ -24,13 +24,12 @@ form on v5e (BASELINE.md round-3 sharded table).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 shard_map = jax.shard_map
 
@@ -47,7 +46,7 @@ Array = jnp.ndarray
 # -- Sharded EDT -------------------------------------------------------------
 
 
-def _check_edt_sharding(shape, n_shards, backend, stacked=False):
+def _check_edt_sharding(shape, n_shards, backend):
     nx, _, nz = shape
     if backend not in ("auto", "xla", "pallas", "pallas-windowed",
                        "pallas-bestfirst"):
@@ -114,7 +113,7 @@ def sharded_signed_distance(is_filled: Array, resolution: float, mesh: Mesh,
     is_filled = jnp.asarray(is_filled, dtype=bool)
     n_shards = mesh.shape[axis_name]
     nx, ny, nz = is_filled.shape
-    _check_edt_sharding(is_filled.shape, n_shards, backend, stacked=True)
+    _check_edt_sharding(is_filled.shape, n_shards, backend)
 
     def local_signed(local_filled):
         # local_filled: [nx, ny, nz / n] bool.
@@ -150,6 +149,10 @@ def sharded_extract_sdf(occupancy: Array, spec: GridSpec, origin_transform,
                         oob_value: float = float("inf"),
                         block: int = 512,
                         backend: str = "auto") -> SignedDistanceField:
+    # Fail fast like the single-chip entry point (ops/edt.py): a
+    # non-uniform spec would otherwise compile+dispatch the whole sharded
+    # EDT before SignedDistanceField.create rejects it.
+    spec.enforce_uniform_voxel_size()
     mask = edt_ops.filled_mask_from_occupancy(occupancy, unknown_is_filled)
     values = sharded_signed_distance(mask, spec.resolution, mesh, axis_name,
                                      block, backend)
@@ -177,9 +180,10 @@ def sharded_extract_isosurface(sdf: SignedDistanceField, mesh: Mesh,
     concatenated per-shard buffers (capacity ``n * max_triangles_per_shard``
     with per-shard compaction, so valid rows are not globally contiguous —
     exactly what ``IsoMesh.valid`` masking and ``weld_vertices`` expect),
-    and ``shard_counts[i] > max_triangles_per_shard`` detects PER-SHARD
-    overflow (the aggregate ``IsoMesh.overflowed`` cannot: one shard can
-    overflow while the total stays under capacity)."""
+    and the mesh carries ``shard_counts`` so ``IsoMesh.overflowed`` (and
+    the weld/statistics truncation guards) check each shard against its
+    own buffer slice — a single shard dropping triangles is flagged even
+    when the aggregate total stays under capacity."""
     from ..ops import isosurface as iso_ops
 
     d = iso_ops._validated_field(sdf, level, frame)
@@ -212,7 +216,8 @@ def sharded_extract_isosurface(sdf: SignedDistanceField, mesh: Mesh,
     verts, valid, counts = fn(d)
     verts = iso_ops._verts_to_frame(verts, sdf, frame)
     m = iso_ops.IsoMesh(vertices=verts, valid=valid,
-                        num_triangles=jnp.sum(counts))
+                        num_triangles=jnp.sum(counts),
+                        shard_counts=counts)
     return m, counts
 
 
@@ -231,11 +236,14 @@ def sharded_raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
 
     ``run_axis`` selects the column-marching carve's run direction
     (ops/voxelize.raycast_pointcloud_columns — bit-exact with the walk,
-    ~4x on v5e). The default ``"auto"`` picks the cloud's dominant ray axis
-    (so real multi-chip runs get the fast path without opting in — round-2
-    VERDICT weak #3), falling back to the voxel walk when the points are
-    traced (the eager dominant-axis probe needs concrete data); ``None``
-    forces the voxel walk."""
+    ~4x on v5e). The default ``"auto"`` resolves the cloud's dominant ray
+    axis EAGERLY, so it only engages when this function is called with
+    concrete points (e.g. per-frame from the backend layer, which jit-
+    caches carve+filter after resolving options). Under an enclosing
+    ``jax.jit`` the points are tracers, the probe cannot run, and auto
+    falls back to the voxel walk — pass an explicit integer ``run_axis``
+    (usually the camera's optical axis) to keep the column carve in fully
+    jitted pipelines. ``None`` forces the voxel walk."""
     if isinstance(run_axis, str):
         if run_axis != "auto":
             raise ValueError(f"Unknown run_axis {run_axis!r}")
@@ -328,8 +336,20 @@ def sharded_render_depth(sdf: SignedDistanceField,
     origins, dirs = render_ops.camera_rays(camera)
 
     t_init = t_valid_from = sort_key = cert_miss = None
-    if coarse_factor and camera.width % coarse_factor == 0 \
-            and camera.height % (coarse_factor * n_shards) == 0:
+    # The prepass needs f | W and f | H (raise like single-chip
+    # render_depth — silent fallback is a multi-x regression with no
+    # signal); the per-shard BLOCK relayout additionally needs
+    # f | H/n_shards — when only that fails, keep the prepass and fall
+    # back to per-ray tail sorting (sort_block=1) instead of dropping
+    # everything.
+    block_layout_ok = bool(
+        coarse_factor
+        and camera.height % (coarse_factor * n_shards) == 0)
+    if coarse_factor:
+        if camera.width % coarse_factor or camera.height % coarse_factor:
+            raise ValueError(
+                f"coarse_factor={coarse_factor} must divide the image "
+                f"dimensions {camera.width}x{camera.height}")
         # The cone prepass is tiny (rays / factor^2) — run it replicated
         # and shard the resulting per-pixel start depths with the rays.
         # Outputs are control data (ops/render.py): stop_gradient'ed.
@@ -362,7 +382,9 @@ def sharded_render_depth(sdf: SignedDistanceField,
             table = cls(rows=rows)
         trace_kwargs = {}
         reshape_back = None
-        if (early_exit and local_sort_key is not None and tail_chunks > 1
+        if (block_layout_ok
+                and early_exit and local_sort_key is not None
+                and tail_chunks > 1
                 and coarse_factor):
             # Block-tail schedule inside the shard (mirrors
             # ops/render.render_depth): relayout the shard's rays cone-
@@ -395,41 +417,31 @@ def sharded_render_depth(sdf: SignedDistanceField,
             return reshape_back(result.depth)
         return result.depth
 
-    args = [origins, dirs, sdf.distances]
-    specs = [P(axis_name), P(axis_name), P()]
-    has_rows = table_rows is not None
-    has_tinit = t_init is not None
-    has_key = sort_key is not None
-    has_miss = cert_miss is not None and early_exit
-    if has_rows:
-        args.append(table_rows)
-        specs.append(P())
-    if has_tinit:
-        args.extend([t_init, t_valid_from])
-        specs.extend([P(axis_name), P(axis_name)])
-    if has_key:
-        args.append(sort_key)
-        specs.append(P(axis_name))
-    if has_miss:
-        args.append(cert_miss)
-        specs.append(P(axis_name))
+    # Optional operands ride a dict pytree — shard_map specs follow the
+    # same keys, so adding an operand is one entry here and one kwarg
+    # below (no positional index-shifting to keep consistent).
+    args = {"o": origins, "d": dirs, "dist": sdf.distances}
+    specs = {"o": P(axis_name), "d": P(axis_name), "dist": P()}
+    if table_rows is not None:
+        args["rows"], specs["rows"] = table_rows, P()
+    if t_init is not None:
+        args["t_i"], specs["t_i"] = t_init, P(axis_name)
+        args["t_v"], specs["t_v"] = t_valid_from, P(axis_name)
+    if sort_key is not None:
+        args["s_k"], specs["s_k"] = sort_key, P(axis_name)
+    if cert_miss is not None and early_exit:
+        args["c_m"], specs["c_m"] = cert_miss, P(axis_name)
 
-    def fn(o, d, dist, *extra):
-        rows = extra[0] if has_rows else None
-        rest = extra[1:] if has_rows else extra
-        t_i = rest[0] if has_tinit else None
-        t_v = rest[1] if has_tinit else None
-        rest = rest[2:] if has_tinit else rest
-        s_k = rest[0] if has_key else None
-        rest = rest[1:] if has_key else rest
-        c_m = rest[0] if has_miss else None
-        return local_render(o, d, dist, rows=rows, local_t_init=t_i,
-                            local_t_valid=t_v, local_sort_key=s_k,
-                            local_cert_miss=c_m)
+    def fn(a):
+        return local_render(a["o"], a["d"], a["dist"], rows=a.get("rows"),
+                            local_t_init=a.get("t_i"),
+                            local_t_valid=a.get("t_v"),
+                            local_sort_key=a.get("s_k"),
+                            local_cert_miss=a.get("c_m"))
 
-    mapped = shard_map(fn, mesh=mesh, in_specs=tuple(specs),
+    mapped = shard_map(fn, mesh=mesh, in_specs=(specs,),
                        out_specs=P(axis_name))
-    return mapped(*args)
+    return mapped(args)
 
 
 def sharded_render_depth_grid_sharded(
@@ -484,7 +496,6 @@ def sharded_render_depth_grid_sharded(
     k_ex = max(1, int(steps_per_exchange))
 
     def local_render(local_d):
-        local_d = local_d  # [nx, ny, lz]
         shard = lax.axis_index(axis_name)
         z_lo = shard * lz
         # +z halo plane from the next shard (the last shard's halo is unused:
