@@ -334,3 +334,30 @@ def test_columns_chunking_and_sorting_invariance():
     b = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
                                             ray_chunk=65536)
     _compare_grids(a, b)
+
+
+def test_huge_finite_sentinel_points_carve_correctly():
+    """Depth sensors emit large finite sentinels (1e9 / FLT_MAX) instead of
+    inf; with max_range unset these previously saturated the int32 index
+    math, flipping the DDA step sign (free marks on the WRONG side of the
+    camera) and breaking walk/column bit-exactness. The far-endpoint clamp
+    bounds the endpoint at the grid's far corner, which is semantically
+    interchangeable (out of grid either way; same in-grid span)."""
+    spec = GridSpec.from_voxel_counts(1.0, (8, 8, 8))
+    for cam_z, want_z in [(4.5, [0, 1, 2, 3, 4]), (0.5, [0])]:
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = (4.5, 4.5, cam_z)
+        # 1e10 exercises int32 index saturation; ~FLT_MAX also overflows
+        # the f32 norm (the clamp must normalize by max-abs first).
+        pts = np.array([[0.0, 0.0, -1e10],
+                        [0.0, 1e-6, -3.4e38]], np.float32)
+        cloud = voxelize.PointCloud.create(pts, pose)  # max_range = inf
+        walk = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud)
+        cols = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud)
+        wf = np.asarray(walk.seen_free)
+        marked_z = sorted(np.argwhere(wf > 0)[:, 2].tolist())
+        assert marked_z == want_z, (cam_z, marked_z)
+        assert int(np.asarray(walk.seen_filled).sum()) == 0
+        np.testing.assert_array_equal(wf, np.asarray(cols.seen_free))
+        np.testing.assert_array_equal(np.asarray(walk.seen_filled),
+                                      np.asarray(cols.seen_filled))

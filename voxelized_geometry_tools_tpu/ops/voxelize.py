@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import time
-from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -248,6 +248,31 @@ def _prepare_rays(spec: GridSpec, X_GC: Array, points: Array,
     p_final = jnp.where(clipped[:, None], p_gco + ray * scale[:, None], p_gp)
 
     grid_sizes = jnp.asarray(spec.grid_sizes, dtype=jnp.float32)
+
+    # Far-endpoint clamp: any endpoint beyond the farthest grid corner is
+    # interchangeable (it is out of the grid — no filled mark — and the
+    # in-grid free-mark span is identical), but a huge finite endpoint
+    # (depth-sensor sentinels like 1e9/FLT_MAX with max_range=inf)
+    # saturates/wraps the int32 index math below, flipping the DDA's step
+    # SIGN and breaking the walk/column bit-exact contract. Clamp the
+    # endpoint onto the bounding sphere of grid+origin plus two voxels:
+    # every downstream quantity (step sign, final_index, crossing counts)
+    # then stays in sane integer range. `ray` itself is NOT clamped — the
+    # walk's t parameterization and entry clip are fractions of the
+    # original ray, unchanged.
+    far_corner = jnp.sqrt(jnp.sum(jnp.maximum(
+        jnp.abs(p_gco), jnp.abs(grid_sizes - p_gco)) ** 2))
+    l_safe = far_corner + jnp.float32(2.0 * spec.resolution)
+    off = p_final - p_gco
+    # Overflow-robust norm: FLT_MAX-magnitude components square to inf in
+    # f32, so normalize by the max-abs component first.
+    m_abs = jnp.max(jnp.abs(off), axis=-1)
+    offn = off / jnp.maximum(m_abs, 1e-30)[:, None]  # components in [-1, 1]
+    d_unit = jnp.sqrt(jnp.sum(offn * offn, axis=-1))  # in [1, sqrt(3)]
+    too_far = m_abs * jnp.minimum(d_unit, 2.0) > l_safe
+    clamped_final = (p_gco + offn
+                     * (l_safe / jnp.maximum(d_unit, 1e-30))[:, None])
+    p_final = jnp.where(too_far[:, None], clamped_final, p_final)
     origin_index = spec.location_in_grid_frame_to_grid_index(p_gco)
     origin_in = spec.check_grid_index_in_bounds(origin_index)
 
