@@ -167,3 +167,63 @@ def test_many_chunks_hash_stress():
     for i, p in enumerate(pts):
         host_value, _ = m.get_location(p)
         assert values[i] == pytest.approx(host_value, abs=1e-6)
+
+
+def test_chunk_value_exact_roundtrip():
+    """CHUNK-granularity values quantize to f32 at write time, so
+    get_location is identical across a save/load round trip even for
+    values like 0.1 that f64 and f32 disagree on."""
+    sizes = dsh_mod.DSHGridSizes(resolution=0.5, chunk_counts=(4, 4, 4))
+    m = dsh_mod.DynamicSpatialHashedOccupancyMap(sizes)
+    m.set_location((0.6, 0.6, 0.6), 0.1, grain=dsh_mod.FillStatus.CHUNK_FILLED)
+    before = m.get_location((0.6, 0.6, 0.6))
+    loaded = dsh_mod.DynamicSpatialHashedOccupancyMap.from_file_bytes(
+        m.to_file_bytes())
+    assert loaded.get_location((0.6, 0.6, 0.6)) == before
+
+
+def test_packed_matches_host_for_nonrigid_transform():
+    """The packed probe uses the TRUE inverse of the origin transform, so a
+    scaled (non-rigid) transform answers identically to the host path."""
+    sizes = dsh_mod.DSHGridSizes(resolution=0.25, chunk_counts=(4, 4, 4))
+    scale = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+    m = dsh_mod.DynamicSpatialHashedOccupancyMap(sizes, origin_transform=scale)
+    m.set_location((1.3, 1.3, 1.3), 0.875)
+    packed = m.pack()
+    for p in [(1.3, 1.3, 1.3), (0.1, 0.1, 0.1), (3.0, 1.0, 1.0)]:
+        host_v, host_s = m.get_location(p)
+        v, s = dsh_mod.packed_get_location(packed, jnp.asarray([p]))
+        assert float(v[0]) == host_v, p
+        if host_s == dsh_mod.FillStatus.NOT_FILLED:
+            assert int(s[0]) == int(dsh_mod.FillStatus.NOT_FILLED)
+        else:
+            assert int(s[0]) != int(dsh_mod.FillStatus.NOT_FILLED)
+
+
+def test_pack_rejects_out_of_int32_regions():
+    sizes = dsh_mod.DSHGridSizes(resolution=1.0, chunk_counts=(2, 2, 2))
+    m = dsh_mod.DynamicSpatialHashedOccupancyMap(sizes)
+    m._chunks[(2 ** 31, 0, 0)] = dsh_mod._Chunk(
+        dsh_mod.FillStatus.CHUNK_FILLED, value=1.0)
+    with pytest.raises(ValueError, match="int32"):
+        m.pack()
+
+
+def test_chunk_items_does_not_leak_live_storage():
+    sizes = dsh_mod.DSHGridSizes(resolution=0.5, chunk_counts=(4, 4, 4))
+    m = dsh_mod.DynamicSpatialHashedOccupancyMap(sizes)
+    m.set_location((0.6, 0.6, 0.6), 1.0)
+    for _, arr in m.chunk_items():
+        arr[:] = -99.0  # mutating the yielded array must not corrupt the map
+    assert m.get_location((0.6, 0.6, 0.6))[0] == 1.0
+
+
+def test_corrupt_file_bytes_raise_valueerror():
+    """The DSH envelope shares the package-wide error contract: corrupt
+    compressed payloads raise ValueError, not raw zlib.error, and short
+    files are rejected."""
+    with pytest.raises(ValueError):
+        dsh_mod.DynamicSpatialHashedOccupancyMap.from_file_bytes(
+            b"DMGZ\x00\x01\x02")
+    with pytest.raises(ValueError):
+        dsh_mod.DynamicSpatialHashedOccupancyMap.from_file_bytes(b"DM")

@@ -158,7 +158,10 @@ class DynamicSpatialHashedOccupancyMap:
         walking ``GetImmutableInternalChunkKeeper`` (ros_interface.hpp:
         292-298)."""
         for region, chunk in self._chunks.items():
-            yield region, chunk.densify(self.sizes.chunk_counts)
+            arr = chunk.densify(self.sizes.chunk_counts)
+            if chunk.fill_status == FillStatus.CELL_FILLED:
+                arr = arr.copy()  # densify returns the LIVE storage here
+            yield region, arr
 
     # -- get / set ----------------------------------------------------------
 
@@ -186,8 +189,11 @@ class DynamicSpatialHashedOccupancyMap:
         region, local = self._grid_to_indices(self._world_to_grid(p_world))
         chunk = self._chunks.get(region)
         if grain == FillStatus.CHUNK_FILLED:
+            # Quantize to f32 like CELL writes (and like the serialized
+            # form), so get_location is identical across a save/load
+            # round trip.
             self._chunks[region] = _Chunk(FillStatus.CHUNK_FILLED,
-                                          value=float(occupancy))
+                                          value=float(np.float32(occupancy)))
             return
         if chunk is None:
             data = np.full(self.sizes.chunk_counts, self.default_occupancy,
@@ -196,7 +202,7 @@ class DynamicSpatialHashedOccupancyMap:
             self._chunks[region] = chunk
         elif chunk.fill_status == FillStatus.CHUNK_FILLED:
             chunk = _Chunk(FillStatus.CELL_FILLED,
-                           data=chunk.densify(self.sizes.chunk_counts).copy())
+                           data=chunk.densify(self.sizes.chunk_counts))
             self._chunks[region] = chunk
         chunk.data[local] = float(occupancy)
 
@@ -234,28 +240,43 @@ class DynamicSpatialHashedOccupancyMap:
     # -- packing for device-side queries -------------------------------------
 
     def pack(self) -> "PackedDSHMap":
-        """Freeze into an immutable device view for jitted batched queries."""
+        """Freeze into an immutable device view for jitted batched queries.
+
+        ``expected_chunks`` (constructor) pre-sizes the hash capacity so a
+        map packed BEFORE further host-side growth keeps its load factor
+        low. Chunk regions must fit int32 (the device probe's key width);
+        a map whose regions exceed that — |world coord| beyond
+        ~2^31 * chunk extent — is rejected here rather than silently
+        mis-hashing on device."""
         n = max(1, len(self._chunks))
         cap = 1
-        while cap < 2 * n:
+        while cap < 2 * max(n, self._expected_chunks):
             cap *= 2
         keys = np.full((cap, 3), _EMPTY_KEY, np.int32)
         slots = np.full((cap,), -1, np.int32)
         counts = self.sizes.chunk_counts
-        data = np.full((max(1, len(self._chunks)),) + counts,
-                       self.default_occupancy, np.float32)
+        data = np.full((n,) + counts, self.default_occupancy, np.float32)
         for i, (region, chunk) in enumerate(self._chunks.items()):
+            r = np.asarray(region, np.int64)
+            # _EMPTY_KEY (INT32_MIN) doubles as the empty sentinel.
+            if (np.abs(r) >= 2 ** 31).any() or (r == _EMPTY_KEY).any():
+                raise ValueError(
+                    f"chunk region {region} exceeds the packed table's "
+                    "int32 key range")
             data[i] = chunk.densify(counts)
-            h = _hash_region(np.asarray(region, np.int64), cap)
+            h = _hash_region(r, cap)
             while slots[h] >= 0:
                 h = (h + 1) % cap
             keys[h] = region
             slots[h] = i
+        origin64 = np.asarray(self.origin_transform, np.float64)
         return PackedDSHMap(
             chunk_data=jnp.asarray(data),
             hash_keys=jnp.asarray(keys),
             hash_slots=jnp.asarray(slots),
             origin_transform=jnp.asarray(self.origin_transform, jnp.float32),
+            inv_origin_transform=jnp.asarray(np.linalg.inv(origin64),
+                                             jnp.float32),
             default_occupancy=jnp.float32(self.default_occupancy),
             sizes=self.sizes, frame=self.frame)
 
@@ -313,19 +334,19 @@ class DynamicSpatialHashedOccupancyMap:
         return m
 
     def to_file_bytes(self, compress: bool = True) -> bytes:
-        payload = self.serialize()
-        if compress:
-            return b"DMGZ" + zlib.compress(payload)
-        return b"DMGR" + payload
+        # One envelope implementation for the whole package: the generic
+        # serializer owns the magic/zlib/size-check semantics (kind 6 is
+        # routed back to this class's payload codec).
+        from . import serialization
+        return serialization.to_file_bytes(self, compress)
 
     @staticmethod
     def from_file_bytes(data: bytes) -> "DynamicSpatialHashedOccupancyMap":
-        magic, payload = data[:4], data[4:]
-        if magic == b"DMGZ":
-            payload = zlib.decompress(payload)
-        elif magic != b"DMGR":
-            raise ValueError(f"File has invalid header [{magic!r}]")
-        return DynamicSpatialHashedOccupancyMap.deserialize(payload)
+        from . import serialization
+        m = serialization.from_file_bytes(data)
+        if not isinstance(m, DynamicSpatialHashedOccupancyMap):
+            raise ValueError("Not a serialized DSH occupancy map")
+        return m
 
     def save_to_file(self, filepath: str, compress: bool = True):
         with open(filepath, "wb") as f:
@@ -359,6 +380,8 @@ class PackedDSHMap:
     hash_keys: Array          # i32 [cap, 3] chunk regions, _EMPTY_KEY = empty
     hash_slots: Array         # i32 [cap] chunk index or -1
     origin_transform: Array   # f32 [4, 4]
+    inv_origin_transform: Array  # f32 [4, 4] TRUE inverse (host-computed,
+    # so non-rigid origin transforms answer identically to the host path)
     default_occupancy: Array  # f32 scalar
     sizes: DSHGridSizes = dataclasses.field(metadata=dict(static=True))
     frame: str = dataclasses.field(default="", metadata=dict(static=True))
@@ -371,7 +394,7 @@ class PackedDSHMap:
 PackedDSHMap = jax.tree_util.register_dataclass(
     PackedDSHMap,
     data_fields=["chunk_data", "hash_keys", "hash_slots", "origin_transform",
-                 "default_occupancy"],
+                 "inv_origin_transform", "default_occupancy"],
     meta_fields=["sizes", "frame"])
 
 
@@ -383,8 +406,9 @@ def packed_get_location(packed: PackedDSHMap, p_world) -> Tuple[Array, Array]:
     sizes = packed.sizes
     cap = packed.capacity
     p = jnp.asarray(p_world)[..., :3]
-    inv = transforms.invert_isometry(packed.origin_transform)
-    p_grid = transforms.apply_isometry(inv, p)
+    # The TRUE inverse computed at pack time — invert_isometry's R^T
+    # shortcut diverges from the host path for non-rigid origin transforms.
+    p_grid = transforms.apply_isometry(packed.inv_origin_transform, p)
     res = jnp.float32(sizes.resolution)
     voxel = jnp.floor(p_grid / res).astype(jnp.int32)
     counts = jnp.asarray(sizes.chunk_counts, jnp.int32)

@@ -65,6 +65,7 @@ _MAGICS = {
     _KIND_TAGGED: (b"TMGZ", b"TMGR"),
     _KIND_TAGGED_COMPONENT: (b"TMGZ", b"TMGR"),
     _KIND_SDF: (b"SDFZ", b"SDFR"),
+    _KIND_DSH: (b"DMGZ", b"DMGR"),
 }
 
 
@@ -232,8 +233,9 @@ def to_file_bytes(m, compress: bool = True) -> bytes:
     matching the reference's SaveToFile envelope."""
     from .dsh import DynamicSpatialHashedOccupancyMap
     if isinstance(m, DynamicSpatialHashedOccupancyMap):
-        return m.to_file_bytes(compress)
-    kind, _, _ = _map_kind_and_channels(m)
+        kind = _KIND_DSH
+    else:
+        kind, _, _ = _map_kind_and_channels(m)
     magic_z, magic_r = _MAGICS[kind]
     payload = serialize(m)
     if compress:
