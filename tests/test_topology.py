@@ -8,6 +8,7 @@ voxels: 1 hole; two boxes: 2 components)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from voxelized_geometry_tools_tpu import (
     GridSpec, OccupancyComponentMap, TaggedObjectOccupancyComponentMap)
@@ -214,3 +215,56 @@ def test_batched_topology_matches_per_component():
         expected[int(c)] = topology.compute_holes_and_voids(
             omap.component, mask, int(c))
     assert invariants == expected
+
+
+def test_hole_formula_truncates_like_cpp():
+    """The reference divides with C++ `/` (truncation toward zero); Python
+    `//` floors. For negative m5+2*m6-m3 not divisible by 8 — routine on
+    non-manifold surfaces of speckled grids — the two differ by one."""
+    # q = -6: C++ 1 + (-6)/8 = 1 + 0 = 1; Python floor gives 1 + (-1) = 0.
+    r = topology._holes_and_voids_from_counts(6, 0, 0, 1)
+    assert r == topology.NumberOfHolesAndVoids(1, 0)
+    # q = -14: C++ 1 + (-14)/8 = 1 - 1 = 0.
+    r = topology._holes_and_voids_from_counts(14, 0, 0, 1)
+    assert r == topology.NumberOfHolesAndVoids(0, 0)
+    # Positive multiples behave identically in both conventions.
+    assert topology._holes_and_voids_from_counts(0, 8, 0, 1).num_holes == 2
+
+
+def test_empty_surface_raises():
+    """An absent component id mirrors the reference's invalid_argument
+    instead of fabricating a phantom hole."""
+    comps = jnp.ones((4, 4, 4), jnp.uint32)
+    surf = jnp.zeros((4, 4, 4), bool)
+    with pytest.raises(ValueError, match="no surface"):
+        topology.compute_holes_and_voids(comps, surf, component=77)
+
+
+def test_nan_occupancy_cells_are_singletons():
+    """Reference are_connected_fn comparisons are all false for NaN, so
+    adjacent NaN cells must NOT merge into one 'unknown' component."""
+    occ = np.zeros((1, 1, 4), np.float32)
+    occ[0, 0, 1] = np.nan
+    occ[0, 0, 2] = np.nan
+    comps, n = topology.connected_components_by_occupancy(jnp.asarray(occ))
+    comps = np.asarray(comps)[0, 0]
+    assert int(n) == 4  # free run split by two NaN singletons
+    assert comps[1] != comps[2]  # the NaN cells are separate
+    assert comps[0] != comps[3]  # and they sever the free run
+
+
+def test_batched_and_per_component_share_formula_on_random_grid():
+    """Random speckled grid: every component reported by the batched pass
+    must match the per-component path (both route through the shared
+    truncating formula)."""
+    rng = np.random.default_rng(41)
+    occ = jnp.asarray((rng.random((7, 7, 7)) < 0.4).astype(np.float32))
+    comps, n = topology.connected_components_by_occupancy(occ)
+    types = (topology.FILLED_COMPONENTS | topology.EMPTY_COMPONENTS
+             | topology.UNKNOWN_COMPONENTS)
+    batched = topology.compute_component_topology(occ, comps, types)
+    assert len(batched) == int(n)
+    mask = topology.component_surfaces_mask(occ, comps, types)
+    for c in list(batched)[:5]:
+        single = topology.compute_holes_and_voids(comps, mask, component=c)
+        assert batched[c] == single

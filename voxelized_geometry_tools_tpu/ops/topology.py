@@ -85,6 +85,10 @@ def label_components(conn_x: Array, conn_y: Array, conn_z: Array,
     """
     shape = domain.shape
     n = shape[0] * shape[1] * shape[2]
+    if n >= 2 ** 31:
+        # int32 labels wrap past ~1290^3 and the min-sweep silently
+        # corrupts; fail loudly (shard the grid across devices instead).
+        raise ValueError(f"grid too large for int32 component labels: {n}")
     flat_ids = jnp.arange(n, dtype=jnp.int32).reshape(shape)
     big = jnp.int32(n)  # out-of-domain sentinel (larger than any label)
     label = jnp.where(domain, flat_ids, big)
@@ -146,6 +150,13 @@ def connected_components_by_occupancy(occupancy: Array,
     (tagged_object_occupancy_component_map.cpp:689-773)."""
     key = occupancy_class(occupancy)
     cx, cy, cz = face_adjacency_from_key(key)
+    # NaN occupancy: every reference are_connected_fn comparison
+    # (>0.5 / <0.5 / ==0.5) is false for NaN, so NaN cells are SINGLETON
+    # components — sever their edges instead of classing them "unknown".
+    ok = ~jnp.isnan(occupancy)
+    cx = cx & ok[1:, :, :] & ok[:-1, :, :]
+    cy = cy & ok[:, 1:, :] & ok[:, :-1, :]
+    cz = cz & ok[:, :, 1:] & ok[:, :, :-1]
     if object_id is not None and not connect_across_objects:
         ox, oy, oz = face_adjacency_from_key(object_id)
         cx, cy, cz = cx & ox, cy & oy, cz & oz
@@ -305,19 +316,7 @@ def _holes_voids_device(components: Array, surface: Array,
     vshape = (nx + 1, ny + 1, nz + 1)
     vertex = jnp.zeros(vshape, dtype=bool)
     center = surf_same[1:-1, 1:-1, 1:-1]
-    conds = {
-        (0, 0, 0): d_zm & d_ym & d_xm,
-        (0, 0, 1): d_zp & d_ym & d_xm,
-        (0, 1, 0): d_zm & d_yp & d_xm,
-        (0, 1, 1): d_zp & d_yp & d_xm,
-        (1, 0, 0): d_zm & d_ym & d_xp,
-        (1, 0, 1): d_zp & d_ym & d_xp,
-        (1, 1, 0): d_zm & d_yp & d_xp,
-        (1, 1, 1): d_zp & d_yp & d_xp,
-    }
-    # NOTE: reference condition is OR of the three diffs (hpp:411-413); the
-    # dicts above hold the AND'd *exposure* for edge counting; vertex
-    # membership uses OR:
+    # Reference condition is OR of the three face diffs (hpp:411-413):
     vconds = {
         (0, 0, 0): d_zm | d_ym | d_xm,
         (0, 0, 1): d_zp | d_ym | d_xm,
@@ -328,7 +327,6 @@ def _holes_voids_device(components: Array, surface: Array,
         (1, 1, 0): d_zm | d_yp | d_xp,
         (1, 1, 1): d_zp | d_yp | d_xp,
     }
-    del conds
     for (cx_, cy_, cz_), cond in vconds.items():
         contrib = center & cond[1:-1, 1:-1, 1:-1]
         vertex = vertex.at[cx_:cx_ + nx, cy_:cy_ + ny, cz_:cz_ + nz].max(
@@ -349,14 +347,15 @@ def _holes_voids_device(components: Array, surface: Array,
         all_diff = ~(vals[0] | vals[1] | vals[2] | vals[3])
         return any_diff & ~all_diff
 
-    # The six edges with their 4 surrounding voxels (hpp:533-610); voxel
-    # offsets here use {0,1} encoding of the reference's -1/+0 pattern.
-    e_zm = edge_exposed([(0, 0, 0), (0, 1, 0), (1, 0, 0), (1, 1, 0)])
-    e_zp = edge_exposed([(0, 0, 1), (0, 1, 1), (1, 0, 1), (1, 1, 1)])
-    e_ym = edge_exposed([(0, 0, 0), (0, 0, 1), (1, 0, 0), (1, 0, 1)])
-    e_yp = edge_exposed([(0, 1, 0), (0, 1, 1), (1, 1, 0), (1, 1, 1)])
-    e_xm = edge_exposed([(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1)])
-    e_xp = edge_exposed([(1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)])
+    # The six edges with their 4 surrounding voxels: the ONE module table
+    # (_EDGE_QUADS, shared with the batched path) so the two formulations
+    # cannot drift.
+    e_zm = edge_exposed(_EDGE_QUADS["zm"])
+    e_zp = edge_exposed(_EDGE_QUADS["zp"])
+    e_ym = edge_exposed(_EDGE_QUADS["ym"])
+    e_yp = edge_exposed(_EDGE_QUADS["yp"])
+    e_xm = edge_exposed(_EDGE_QUADS["xm"])
+    e_xp = edge_exposed(_EDGE_QUADS["xp"])
 
     edge_count = sum(e.astype(jnp.int32)
                      for e in (e_zm, e_zp, e_ym, e_yp, e_xm, e_xp))
@@ -374,7 +373,38 @@ def _holes_voids_device(components: Array, surface: Array,
     vz = vertex[:, :, :-1] & vertex[:, :, 1:] & e_zp[:, :, :-1]
     _, num_surfaces = label_components(vx, vy, vz, vertex)
 
-    return m3, m5, m6, num_surfaces
+    n_voxels = jnp.sum(surf_same.astype(jnp.int32))
+    n_vertices = jnp.sum(vertex.astype(jnp.int32))
+    return m3, m5, m6, num_surfaces, n_voxels, n_vertices
+
+
+def _holes_and_voids_from_counts(
+        m3: int, m5: int, m6: int, num_surfaces: int,
+        logging_fn=None) -> NumberOfHolesAndVoids:
+    """Chen & Rong formula (hpp:626-643), shared by the per-component and
+    batched paths so they cannot drift.
+
+    The reference divides with C++ ``/`` which TRUNCATES toward zero;
+    Python ``//`` floors — off by one whenever ``m5 + 2*m6 - m3`` is
+    negative and not a multiple of 8, which non-manifold surfaces of noisy
+    grids produce routinely (manifold test shapes never do, which is how
+    the floor version survived two rounds). An empty surface raises like
+    the reference's ``std::invalid_argument`` (hpp:23-48) instead of
+    fabricating one phantom hole."""
+    if num_surfaces == 0:
+        raise ValueError(
+            "component has no surface vertices (absent component id or "
+            "class excluded from the surface mask)")
+    q = m5 + 2 * m6 - m3
+    raw_holes = 1 + (abs(q) // 8) * (1 if q >= 0 else -1)
+    num_voids = max(num_surfaces - 1, 0)
+    num_holes = raw_holes + num_voids
+    if logging_fn:
+        logging_fn(
+            f"Processed surface with M3 = {m3} M5 = {m5} M6 = {m6} into "
+            f"# holes = {num_holes} # of surfaces = {num_surfaces} "
+            f"# of voids = {num_voids}")
+    return NumberOfHolesAndVoids(num_holes, num_voids)
 
 
 def compute_holes_and_voids(components: Array, surface_mask: Array,
@@ -383,19 +413,14 @@ def compute_holes_and_voids(components: Array, surface_mask: Array,
                             ) -> NumberOfHolesAndVoids:
     """Chen & Rong topological invariants of one component's surface
     (hpp:331-643)."""
-    m3, m5, m6, num_surfaces = _holes_voids_device(
+    m3, m5, m6, num_surfaces, n_vox, n_vert = _holes_voids_device(
         components, surface_mask, jnp.uint32(component))
-    m3, m5, m6 = int(m3), int(m5), int(m6)
-    num_surfaces = int(num_surfaces)
-    num_voids = max(num_surfaces - 1, 0)
-    raw_holes = 1 + (m5 + 2 * m6 - m3) // 8
-    num_holes = raw_holes + num_voids
     if logging_fn:
-        logging_fn(
-            f"Processed surface with M3 = {m3} M5 = {m5} M6 = {m6} into "
-            f"# holes = {num_holes} # of surfaces = {num_surfaces} "
-            f"# of voids = {num_voids}")
-    return NumberOfHolesAndVoids(num_holes, num_voids)
+        # First reference log line (hpp:491-496).
+        logging_fn(f"Surface with {int(n_vox)} voxels has {int(n_vert)} "
+                   "surface vertices")
+    return _holes_and_voids_from_counts(
+        int(m3), int(m5), int(m6), int(num_surfaces), logging_fn)
 
 
 def _slot_index(a: int, b: int, c: int) -> int:
@@ -505,6 +530,13 @@ def _holes_voids_all_device(components: Array, surface: Array,
     val = jnp.stack(vals)                         # [8, VX, VY, VZ]
     vshape = act.shape
     n_nodes = 8 * vshape[1] * vshape[2] * vshape[3]
+    if n_nodes >= 2 ** 31:
+        # int32 lifted-node ids wrap at ~644^3 and the min-label sweep
+        # silently corrupts; fail loudly (shard the grid, or process
+        # components through compute_holes_and_voids per id).
+        raise ValueError(
+            f"grid too large for the one-pass topology sweep: "
+            f"{n_nodes} lifted nodes exceed int32")
     big = jnp.int32(n_nodes)
     own = jnp.arange(n_nodes, dtype=jnp.int32).reshape(vshape)
     label = jnp.where(act, own, big)
@@ -601,15 +633,6 @@ def compute_component_topology(
                           np.asarray(nsb))
     result: Dict[int, NumberOfHolesAndVoids] = {}
     for c in np.nonzero(nsb)[0]:
-        m3, m5, m6 = int(m3b[c]), int(m5b[c]), int(m6b[c])
-        num_surfaces = int(nsb[c])
-        num_voids = max(num_surfaces - 1, 0)
-        raw_holes = 1 + (m5 + 2 * m6 - m3) // 8
-        num_holes = raw_holes + num_voids
-        if logging_fn:
-            logging_fn(
-                f"Processed surface with M3 = {m3} M5 = {m5} M6 = {m6} into "
-                f"# holes = {num_holes} # of surfaces = {num_surfaces} "
-                f"# of voids = {num_voids}")
-        result[int(c)] = NumberOfHolesAndVoids(num_holes, num_voids)
+        result[int(c)] = _holes_and_voids_from_counts(
+            int(m3b[c]), int(m5b[c]), int(m6b[c]), int(nsb[c]), logging_fn)
     return result
