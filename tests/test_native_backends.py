@@ -124,3 +124,50 @@ def test_option_resolution_logging():
     assert default == 7
     assert "value [4]" in logs[0]
     assert "default" in logs[1]
+
+
+def test_invalid_options_rejected():
+    with pytest.raises(ValueError, match="RAY_CHUNK"):
+        backends.AcceleratorPointCloudVoxelizer({"RAY_CHUNK": 0})
+    with pytest.raises(ValueError, match="MAX_STEPS"):
+        backends.AcceleratorPointCloudVoxelizer({"MAX_STEPS": -5})
+    # 0 means "unset" per the reference option convention.
+    backends.AcceleratorPointCloudVoxelizer({"MAX_STEPS": 0})
+
+
+def test_best_available_prefers_native_on_cpu_hosts():
+    """Without a real accelerator device the multithreaded native backend
+    must win over XLA-on-CPU (the reference's device-backend-only-when-a-
+    device-exists ordering)."""
+    import jax
+    from voxelized_geometry_tools_tpu import native
+    if any(d.platform != "cpu" for d in jax.devices()):
+        pytest.skip("accelerator present")
+    if not native.available():
+        pytest.skip("no native toolchain")
+    v = backends.make_best_available_pointcloud_voxelizer()
+    assert isinstance(v, backends.NativeCpuPointCloudVoxelizer)
+
+
+def test_probe_available_is_consistent():
+    from voxelized_geometry_tools_tpu import native
+    # probe may be optimistic (toolchain present) but must never be False
+    # when the library actually loads.
+    if native.available():
+        assert native.probe_available()
+
+
+def test_native_rejects_non_uniform_spec():
+    from voxelized_geometry_tools_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    from voxelized_geometry_tools_tpu import GridSpec, OccupancyMap
+    import jax.numpy as jnp
+    spec = GridSpec.from_voxel_sizes((0.1, 0.2, 0.1), (4, 4, 4))
+    env = OccupancyMap(origin_transform=jnp.eye(4),
+                       occupancy=jnp.full((4, 4, 4), 0.5), spec=spec,
+                       frame="t")
+    v = backends.NativeCpuPointCloudVoxelizer()
+    cloud = voxelize.PointCloud.create(np.zeros((1, 3), np.float32))
+    with pytest.raises(ValueError, match="uniform"):
+        v.voxelize_pointclouds(env, voxelize.FilterOptions(), [cloud])

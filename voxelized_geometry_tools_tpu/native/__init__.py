@@ -1,2 +1,2 @@
-from .loader import (available, get_library, edt_sdf, raycast, filter_grids,
-                     hardware_threads)
+from .loader import (available, probe_available, get_library,
+                     edt_sdf, raycast, filter_grids, hardware_threads)

@@ -157,3 +157,22 @@ def filter_grids(seen_free: np.ndarray, seen_filled: np.ndarray,
                    outlier_points_threshold, num_cameras_seen_free, threads,
                    _ptr(out, ctypes.c_float))
     return out.reshape(occupancy.shape)
+
+
+def probe_available() -> bool:
+    """Cheap availability probe for backend ENUMERATION: true when the
+    library is already loaded, a cached build exists, or the toolchain is
+    present — without triggering the g++ build that :func:`available`
+    (via :func:`get_library`) performs. A probe-positive backend can still
+    fail to build; factories must absorb that by falling through."""
+    if _LIB is not None:
+        return True
+    if _FAILED:
+        return False
+    try:
+        if os.path.exists(_build_path()):
+            return True
+    except OSError:
+        return False
+    import shutil
+    return shutil.which("g++") is not None

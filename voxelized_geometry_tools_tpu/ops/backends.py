@@ -11,7 +11,9 @@ mirroring the reference's one-oracle-many-backends strategy.
 
 String-keyed int32 option maps are preserved (``RetrieveOptionOrDefault``,
 device_voxelization_interface.hpp:44-70): known keys are ``CPU_NUM_THREADS``
-(native backend) and ``RAY_CHUNK`` / ``MAX_STEPS`` (accelerator backend).
+(native backend) and ``RAY_CHUNK`` / ``MAX_STEPS`` / ``CARVE_COLUMNS``
+(accelerator backend; ``CARVE_COLUMNS=0`` opts out of the column-marching
+carve).
 """
 
 from __future__ import annotations
@@ -89,12 +91,21 @@ class AcceleratorPointCloudVoxelizer:
     of the reference device path — and the returned ``VoxelizerRuntime``
     keeps the honest raycast/filter split by syncing once between phases."""
 
-    def __init__(self, options: Dict[str, int] = {},
+    def __init__(self, options: Optional[Dict[str, int]] = None,
                  logging_fn: LoggingFunction = None):
+        options = options or {}
         self._ray_chunk = retrieve_option_or_default(
             options, "RAY_CHUNK", 16384, logging_fn)
+        if self._ray_chunk < 1:
+            raise ValueError(f"RAY_CHUNK must be >= 1, got "
+                             f"{self._ray_chunk}")
         self._max_steps = retrieve_option_or_default(
             options, "MAX_STEPS", 0, logging_fn) or None
+        if self._max_steps is not None and self._max_steps < 1:
+            # A negative budget would silently carve NOTHING (zero DDA
+            # segments) while still marking endpoints — reject it.
+            raise ValueError(f"MAX_STEPS must be >= 1 (or 0/unset), got "
+                             f"{self._max_steps}")
         # CARVE_COLUMNS=1 (default): large clouds use the column-marching
         # carve (one ~4x-cheaper scatter row per visited column instead of
         # one element per visited voxel — ops/voxelize.py), bit-identical to
@@ -173,8 +184,9 @@ class NativeCpuPointCloudVoxelizer:
     cpu_pointcloud_voxelization.cpp, reimplemented in
     native/vgt_native.cpp)."""
 
-    def __init__(self, options: Dict[str, int] = {},
+    def __init__(self, options: Optional[Dict[str, int]] = None,
                  logging_fn: LoggingFunction = None):
+        options = options or {}
         from .. import native
         if not native.available():
             raise RuntimeError("native backend unavailable")
@@ -190,9 +202,12 @@ class NativeCpuPointCloudVoxelizer:
                              filter_options: FilterOptions,
                              pointclouds: Sequence[PointCloud],
                              runtime_log_fn=None) -> OccupancyMap:
-        import time
         filter_options.validate()
         spec = static_environment.spec
+        # The native kernel marches with a single cubic cell size; reject
+        # non-uniform specs like the accelerator path does (silently wrong
+        # y/z cell sizes otherwise).
+        spec.enforce_uniform_voxel_size()
         X_GW = np.asarray(transforms.invert_isometry(
             static_environment.origin_transform), np.float64)
 
@@ -243,10 +258,13 @@ def get_available_backends() -> List[AvailableBackend]:
     except Exception:
         pass
     from .. import native
-    if native.available():
-        backends.append(AvailableBackend(
-            f"native_cpu ({native.hardware_threads()} threads)", {},
-            BackendOption.NATIVE_CPU))
+    # Cheap probe (cached library or toolchain present) — enumeration must
+    # not block on a g++ build like constructing the backend does; the
+    # best-available factory absorbs a later build failure by falling
+    # through to the next backend.
+    if native.probe_available():
+        backends.append(AvailableBackend("native_cpu", {},
+                                         BackendOption.NATIVE_CPU))
     return backends
 
 
@@ -268,10 +286,21 @@ def make_pointcloud_voxelizer(backend, logging_fn: LoggingFunction = None):
 
 
 def make_best_available_pointcloud_voxelizer(
-        options: Dict[str, int] = {}, logging_fn: LoggingFunction = None):
+        options: Optional[Dict[str, int]] = None,
+        logging_fn: LoggingFunction = None):
     """``MakeBestAvailablePointCloudVoxelizer`` — try in preference order
-    (pointcloud_voxelization.cpp:92-147)."""
-    for option in (BackendOption.ACCELERATOR, BackendOption.NATIVE_CPU):
+    (pointcloud_voxelization.cpp:92-147). The reference prefers device
+    backends only when a real device exists (CUDA -> OpenCL -> CPU); the
+    analogue here: the accelerator path wins when a non-CPU XLA device is
+    present, otherwise the multithreaded native C++ backend beats
+    XLA-on-CPU's interpreted scatter carve (measured ~it exists for this
+    case), with the jax-CPU path as the final fallback."""
+    options = options or {}
+    has_device = any(d.platform != "cpu" for d in jax.devices())
+    order = ((BackendOption.ACCELERATOR, BackendOption.NATIVE_CPU)
+             if has_device else
+             (BackendOption.NATIVE_CPU, BackendOption.ACCELERATOR))
+    for option in order:
         try:
             voxelizer = make_pointcloud_voxelizer(
                 AvailableBackend("", options, option), logging_fn)

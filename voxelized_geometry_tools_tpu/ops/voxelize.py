@@ -980,7 +980,17 @@ def dominant_ray_axis(cloud: PointCloud,
     """Best ``run_axis`` for :func:`raycast_pointcloud_columns`: the GRID
     axis most aligned with the cloud's mean ray direction (eager helper —
     call with concrete data, not under jit)."""
-    pts = np.asarray(cloud.points)
+    # Subsample ON DEVICE before materializing: this runs on the host on
+    # EVERY voxelize call (a full 640x480 cloud would be ~3.7 MB of D2H +
+    # an O(N) matmul just to pick one of three axes); a strided ~2k-point
+    # sample picks the same dominant axis, and the column carve is
+    # bit-exact with the walk for ANY axis choice, so a borderline pick
+    # only affects speed, never results.
+    pts_dev = cloud.points
+    n_pts = pts_dev.shape[0]
+    if n_pts > 2048:
+        pts_dev = pts_dev[:: n_pts // 2048 + 1]
+    pts = np.asarray(pts_dev)
     finite = np.all(np.isfinite(pts), axis=-1)
     if not finite.any():
         return 2
