@@ -4,6 +4,7 @@ and functional)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from voxelized_geometry_tools_tpu import (
     GridSpec, OccupancyComponentMap, OccupancyMap, SignedDistanceField,
@@ -140,3 +141,42 @@ def test_non_uniform_voxel_sizes_l1_surface():
     assert uspec.has_uniform_voxel_size
     assert uspec.enforce_uniform_voxel_size() is uspec
     OccupancyMap.create(uspec)
+
+
+def test_sdf_create_validates_shape_and_keeps_f64_origin():
+    import jax
+    spec = GridSpec.from_voxel_counts(1.0, (4, 4, 4))
+    with pytest.raises(ValueError, match="shape"):
+        SignedDistanceField.create(spec, jnp.zeros((3, 4, 4)))
+    with jax.enable_x64():
+        t = np.eye(4)
+        t[:3, 3] = (2.0 ** 24 + 1.0, 0.0, 0.0)  # not representable in f32
+        sdf = SignedDistanceField.create(
+            spec, jnp.zeros((4, 4, 4), jnp.float64), t, dtype=jnp.float64)
+        assert sdf.origin_transform.dtype == jnp.float64
+        assert float(sdf.origin_transform[0, 3]) == 2.0 ** 24 + 1.0
+
+
+def test_locked_sdf_unlocks_on_distance_replace():
+    """replace(distances=...) must not keep a stale locked min/max cache."""
+    spec = GridSpec.from_voxel_counts(1.0, (4, 4, 4))
+    sdf = SignedDistanceField.create(spec, jnp.zeros((4, 4, 4)), locked=True)
+    assert sdf.locked
+    sdf2 = sdf.replace(distances=jnp.full((4, 4, 4), 7.0))
+    assert not sdf2.locked
+    lo, hi = sdf2.get_minimum_maximum()
+    assert float(lo) == float(hi) == 7.0
+    # Replacing unrelated fields keeps the lock (and the valid cache).
+    sdf3 = sdf.replace(frame="other")
+    assert sdf3.locked and float(sdf3.maximum) == 0.0
+    # lock() itself still round-trips through replace.
+    assert sdf2.lock().locked
+
+
+def test_non_isometry_origin_rejected():
+    spec = GridSpec.from_voxel_counts(1.0, (4, 4, 4))
+    bad = np.diag([2.0, 2.0, 2.0, 1.0])
+    with pytest.raises(ValueError, match="isometry"):
+        OccupancyMap.create(spec, bad)
+    with pytest.raises(ValueError, match="isometry"):
+        SignedDistanceField.create(spec, jnp.zeros((4, 4, 4)), bad)

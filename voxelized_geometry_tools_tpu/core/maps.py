@@ -43,10 +43,30 @@ def _register(cls, data_fields, meta_fields):
     return cls
 
 
-def _default_transform(origin_transform) -> Array:
+def _default_transform(origin_transform, dtype=jnp.float32) -> Array:
+    """Normalize an origin transform; ``dtype`` follows the map's scalar
+    type (a float64 SDF keeps a float64 origin — the f32 default would
+    silently destroy translation precision the double-parity path promises
+    to keep). Concrete inputs are validated as ISOMETRIES: the rigid-body
+    inverse used throughout (transforms.invert_isometry, R^T) is wrong for
+    scaled/sheared matrices, which the reference's Isometry3d type cannot
+    even represent — reject them instead of silently reading the wrong
+    voxels. Traced inputs (e.g. optimized camera-rig transforms inside
+    jit) skip the check."""
     if origin_transform is None:
-        return jnp.eye(4, dtype=jnp.float32)
-    return jnp.asarray(origin_transform, dtype=jnp.float32)
+        return jnp.eye(4, dtype=dtype)
+    t = jnp.asarray(origin_transform, dtype=dtype)
+    if t.shape != (4, 4):
+        raise ValueError(f"origin_transform must be [4, 4], got {t.shape}")
+    if not isinstance(t, jax.core.Tracer):
+        m = np.asarray(t, np.float64)
+        if (not np.allclose(m[:3, :3] @ m[:3, :3].T, np.eye(3), atol=1e-3)
+                or not np.allclose(m[3], (0.0, 0.0, 0.0, 1.0), atol=1e-5)):
+            raise ValueError(
+                "origin_transform must be an isometry (orthonormal "
+                "rotation + translation); the rigid-body inverse used for "
+                "world<->grid transforms assumes R^-1 = R^T")
+    return t
 
 
 def _full(spec: GridSpec, value, dtype) -> Array:
@@ -103,8 +123,10 @@ class _MapBase:
 
     def _get_cells(self, index):
         """Base cell query: (dict of per-channel values, valid mask).
-        Out-of-bounds lanes return the first cell's value with
-        ``valid=False`` (query-object semantics of ``GetIndexImmutable``)."""
+        Out-of-bounds lanes return the nearest EDGE cell's value (indices
+        clamp per axis) with ``valid=False`` — payloads of invalid lanes
+        are meaningless; test the mask (query-object semantics of
+        ``GetIndexImmutable``)."""
         idx = jnp.asarray(index)
         valid = self.spec.check_grid_index_in_bounds(idx)
         safe = jnp.clip(idx, 0, jnp.asarray(self.spec.counts) - 1)
@@ -146,8 +168,9 @@ class _MapBase:
         counts = jnp.asarray(self.spec.counts, idx.dtype)
         idx = jnp.where(idx < 0, counts, idx)
         updates = {}
+        names = self._channel_names()
         for name, value in channel_values.items():
-            if name not in self._channel_names():
+            if name not in names:
                 raise ValueError(f"Unknown channel {name!r}")
             chan = getattr(self, name)
             value = jnp.asarray(value, chan.dtype)
@@ -335,8 +358,15 @@ class SignedDistanceField(_MapBase):
             raise ValueError(
                 "float64 SDFs require jax_enable_x64 "
                 "(jax.config.update('jax_enable_x64', True))")
+        if tuple(values.shape) != tuple(spec.shape):
+            # JAX gathers clamp out-of-range indices, so a spec/data shape
+            # mismatch would return silently wrong values, not errors.
+            raise ValueError(
+                f"distances shape {values.shape} != spec counts "
+                f"{spec.shape}")
         sdf = SignedDistanceField(
-            origin_transform=_default_transform(origin_transform),
+            origin_transform=_default_transform(origin_transform,
+                                                values.dtype),
             distances=values,
             minimum=jnp.zeros((), values.dtype),
             maximum=jnp.zeros((), values.dtype),
@@ -349,7 +379,21 @@ class SignedDistanceField(_MapBase):
                             maximum=jnp.max(self.distances), locked=True)
 
     def unlock(self) -> "SignedDistanceField":
-        return self.replace(locked=False)
+        return dataclasses.replace(self, locked=False)
+
+    def replace(self, **kwargs):
+        """Functional update. Replacing ``distances`` on a LOCKED field
+        unlocks the result: the cached min/max no longer describes the new
+        values, and silently keeping ``locked=True`` would let
+        ``get_minimum_maximum`` return stale bounds (the idiom
+        ``sdf.replace(distances=d)`` threads arrays through jit everywhere;
+        recomputing the cache there would bill two full-grid reductions to
+        every render step). Re-``lock()`` explicitly if the cache is
+        wanted."""
+        if ("distances" in kwargs and self.locked
+                and not {"minimum", "maximum", "locked"} & kwargs.keys()):
+            kwargs["locked"] = False
+        return dataclasses.replace(self, **kwargs)
 
     def get_minimum_maximum(self):
         if self.locked:
