@@ -2,6 +2,8 @@
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -89,3 +91,48 @@ def test_reconstruct_pipeline_runs():
     out = fp.reconstruct(env, [cloud], cam, num_render_steps=24)
     assert out.sdf.locked
     assert out.render_result.depth.shape == (12, 16)
+
+
+def test_fit_voxels_corner_table_gradient_is_live():
+    """Passing corner_table to fit_voxels must still move the DATA term: a
+    prebuilt table bakes the original distances (zero voxel gradient, the
+    fit would silently minimize only the TV prior), so the fitter rebuilds
+    the table from the current values inside each loss evaluation."""
+    from voxelized_geometry_tools_tpu.ops import sdf_query
+    sdf, cams = make_scene()
+    targets = [render.render_depth(sdf, c, num_steps=32).depth for c in cams]
+    noise = 0.04 * np.random.default_rng(1).standard_normal(
+        np.asarray(sdf.distances).shape).astype(np.float32)
+    noisy = sdf.replace(distances=sdf.distances + noise)
+    table = sdf_query.build_corner_table(noisy)
+    refined, losses = fp.fit_voxels(noisy, cams, targets, num_iters=25,
+                                    num_steps=32, smoothness_weight=0.0,
+                                    corner_table=table)
+    losses = np.asarray(losses)
+    # With ZERO smoothness weight, any loss decrease is the data term.
+    assert losses[-1] < 0.5 * losses[0]
+    assert not np.allclose(np.asarray(refined.distances),
+                           np.asarray(noisy.distances))
+
+
+def test_fit_voxels_rejects_mismatched_inputs():
+    sdf, cams = make_scene()
+    with pytest.raises(ValueError, match="at least one"):
+        fp.fit_voxels(sdf, [], [], num_iters=1)
+    with pytest.raises(ValueError, match="cameras"):
+        fp.fit_voxels(sdf, cams, [jnp.zeros((2, 2))], num_iters=1)
+
+
+def test_depth_loss_ignores_zero_depth_holes():
+    """Sensor images encode missing returns as depth 0; those pixels must
+    not contribute (they'd drag the fit toward the camera)."""
+    sdf, cams = make_scene()
+    target = np.asarray(render.render_depth(sdf, cams[0],
+                                            num_steps=24).depth)
+    l_ref = float(fp.depth_loss(sdf, cams[0], jnp.asarray(target),
+                                num_steps=24))
+    holes = target.copy()
+    holes[::2, ::2] = 0.0  # punch missing-return holes
+    l_holes = float(fp.depth_loss(sdf, cams[0], jnp.asarray(holes),
+                                  num_steps=24))
+    assert l_holes <= l_ref + 1e-6

@@ -66,17 +66,23 @@ def test_sdf_cache_invalidation():
 def test_render_and_localize():
     m = _mapper()
     m.integrate(voxelize.PointCloud.create(_plane_cloud(0.6, n=24), np.eye(4)))
+    # Evaluate from INSIDE the carved free cone (the cloud camera's own
+    # apex): a camera out in the unknown region renders the unknown
+    # boundary, not the wall — its "depths" are meaningless (and the
+    # depth_loss validity mask now rejects non-positive targets).
     pose = np.eye(4, dtype=np.float32)
-    pose[:3, 3] = (0.0, 0.0, -1.5)
     cam = render.PinholeCamera.create(pose, 16, 12, focal=14.0)
-    target = m.render_depth(cam, num_steps=24).depth
-    # Perturb the pose and recover it against the live SDF.
+    target = np.asarray(m.render_depth(cam, num_steps=24).depth)
+    assert target.min() > 0.0  # sane positive depths from free space
+    # Perturb TOWARD the wall (stays inside the carved cone; a lateral
+    # shift would be unobservable against a flat wall) and recover it.
     bad_pose = pose.copy()
-    bad_pose[2, 3] -= 0.12
+    bad_pose[2, 3] += 0.08
     bad_cam = render.PinholeCamera.create(bad_pose, 16, 12, focal=14.0)
     fit = m.localize(bad_cam, target, num_iters=40, learning_rate=0.02,
                      num_steps=24)
     losses = np.asarray(fit.losses)
+    assert fit.valid_fraction > 0.5  # the fit actually engaged
     assert losses[-1] < 0.5 * losses[0]
 
 

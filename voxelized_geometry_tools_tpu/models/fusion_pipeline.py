@@ -20,14 +20,12 @@ all-reduce in the sharded variant)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..core import transforms
-from ..core.grid import GridSpec
 from ..core.maps import OccupancyMap, SignedDistanceField
 from ..ops import edt, render, sdf_query, voxelize
 
@@ -62,8 +60,12 @@ def reconstruct(static_environment: OccupancyMap,
 
 
 def se3_exp(tangent: Array) -> Array:
-    """Exponential map from a 6-vector ``(rx, ry, rz, tx, ty, tz)`` to an
-    isometry — differentiable pose parameterization for pose optimization.
+    """Differentiable pose chart: SO(3) exponential on ``(rx, ry, rz)``
+    with the translation ``(tx, ty, tz)`` copied RAW (an SO(3) x R^3
+    chart, NOT the full SE(3) exponential — the V-matrix coupling is
+    deliberately omitted; as an optimization parameterization around a
+    base pose the choice of chart only reparameterizes the search space,
+    but do not use this to integrate twists).
 
     Uses the unnormalized-skew Rodrigues form ``R = I + A K + B K^2`` with
     smooth coefficients ``A = sin(t)/t``, ``B = (1-cos(t))/t^2`` so gradients
@@ -113,8 +115,11 @@ def depth_loss(sdf: SignedDistanceField, camera: render.PinholeCamera,
     B/ray/step of activations), or a prebuilt ``corner_table``."""
     result = render.render_depth(sdf, camera, num_steps=num_steps,
                                  max_depth=max_depth, **render_kwargs)
+    # target > 0: depth cameras encode missing returns as 0 (RealSense /
+    # Kinect convention) — such pixels must not become hard targets at
+    # depth zero dragging the fit toward the camera.
     valid = result.hit & jnp.isfinite(target_depth) & (
-        target_depth < max_depth)
+        target_depth > 0.0) & (target_depth < max_depth)
     err = jnp.where(valid, result.depth - target_depth, 0.0)
     loss = optax.huber_loss(err, delta=huber_delta)
     return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
@@ -125,6 +130,9 @@ class PoseFitResult:
     pose: Array
     tangent: Array
     losses: Array
+    # Fraction of rays hitting in BOTH rendered and target images at the
+    # final pose; ~0 means the fit never engaged (see fit_camera_pose).
+    valid_fraction: float = float("nan")
 
 
 def fit_camera_pose(sdf: SignedDistanceField, base_camera: render.PinholeCamera,
@@ -159,8 +167,19 @@ def fit_camera_pose(sdf: SignedDistanceField, base_camera: render.PinholeCamera,
     for _ in range(num_iters):
         tangent, opt_state, loss = step(tangent, opt_state)
         losses.append(loss)
+    # Overlap diagnostic: with NO valid rays (non-overlapping silhouettes
+    # at a bad initial pose) the loss and its gradient are exactly zero
+    # and the fit silently no-ops — expose the final overlap so callers
+    # can tell "converged" from "never engaged".
+    final_cam = dataclasses.replace(base_camera,
+                                    pose=perturb_pose(base_pose, tangent))
+    res = render.render_depth(sdf, final_cam, num_steps=num_steps,
+                              max_depth=max_depth, **render_kwargs)
+    valid = res.hit & jnp.isfinite(target_depth) & (target_depth > 0.0) \
+        & (target_depth < max_depth)
     return PoseFitResult(pose=perturb_pose(base_pose, tangent),
-                         tangent=tangent, losses=jnp.stack(losses))
+                         tangent=tangent, losses=jnp.stack(losses),
+                         valid_fraction=float(jnp.mean(valid)))
 
 
 def fit_voxels(sdf: SignedDistanceField, cameras: Sequence[render.PinholeCamera],
@@ -173,14 +192,38 @@ def fit_voxels(sdf: SignedDistanceField, cameras: Sequence[render.PinholeCamera]
     voxel refinement — pixel-to-voxel gradients with a TV smoothness prior).
     Returns the refined (re-locked) SDF and the loss history. Extra kwargs
     reach :func:`render.render_depth` (``remat=True`` bounds backward-pass
-    memory for full-frame multi-view fits)."""
+    memory for full-frame multi-view fits). A ``corner_table`` kwarg is
+    treated as a REQUEST for the fast sampling path: the table is rebuilt
+    from the CURRENT distances inside each loss evaluation (a prebuilt
+    table bakes the original values, making the data term's gradient
+    w.r.t. the optimized voxels identically zero — the fit would silently
+    minimize only the smoothness prior).
+
+    NOTE: gradient updates do not preserve the 1-Lipschitz metric
+    property; render the refined field without certified acceleration
+    (no ``mip``/``coarse_factor``), or re-extract an exact SDF from its
+    sign via the EDT, before relying on certified-skip rendering."""
+    if not cameras:
+        raise ValueError("fit_voxels needs at least one camera")
+    if len(cameras) != len(target_depths):
+        raise ValueError(
+            f"{len(cameras)} cameras but {len(target_depths)} target "
+            "depth images")
+    render_kwargs = dict(render_kwargs)
+    table_proto = render_kwargs.pop("corner_table", None)
 
     def loss_fn(distances):
         cur = sdf.replace(distances=distances)
+        kw = dict(render_kwargs)
+        if table_proto is not None:
+            build = (sdf_query.build_corner_pair_table
+                     if table_proto.rows.shape[-1] == 2
+                     else sdf_query.build_corner_table)
+            kw["corner_table"] = build(cur)
         loss = 0.0
         for cam, target in zip(cameras, target_depths):
             loss = loss + depth_loss(cur, cam, target, num_steps=num_steps,
-                                     max_depth=max_depth, **render_kwargs)
+                                     max_depth=max_depth, **kw)
         tv = (jnp.mean(jnp.abs(jnp.diff(distances, axis=0)))
               + jnp.mean(jnp.abs(jnp.diff(distances, axis=1)))
               + jnp.mean(jnp.abs(jnp.diff(distances, axis=2))))
