@@ -74,3 +74,39 @@ def test_bestfirst_small_tile_lines_exact():
             jnp.asarray(f, jnp.float32), tile_lines=tl, tile_q=64,
             interpret=True))
         np.testing.assert_array_equal(ref, got)
+
+
+def test_windowed_kernel_exact_vs_oracle():
+    """The windowed kernel (backend='pallas-windowed') was the one variant
+    without an oracle test. Covers non-multiple line counts so the LINE
+    padding (0.0 — an inf pad would pin padded lanes' outputs at inf and
+    defeat the early exit tile-wide) is exercised, and f containing +inf
+    (empty lines of a binary-seeded EDT)."""
+    rng = np.random.default_rng(77)
+    for lines, n in [(5, 48), (260, 33), (64, 160)]:
+        f = (rng.random((lines, n)).astype(np.float32) * 100.0)
+        f[rng.random((lines, n)) < 0.3] = np.inf
+        f[:, 0] = 0.0  # keep at least one finite candidate per line
+        ref = np.asarray(edt._parabolic_envelope_last(jnp.asarray(f), 64))
+        out = np.asarray(edt_pallas.parabolic_envelope_last_pallas_windowed(
+            jnp.asarray(f), tile_lines=128, tile_q=16, interpret=True))
+        np.testing.assert_array_equal(ref, out)
+
+
+def test_all_kernels_exact_with_line_padding():
+    """Line counts that do NOT divide tile_lines force padded lanes; every
+    kernel must stay exact on the real lanes regardless of pad values."""
+    rng = np.random.default_rng(78)
+    f = rng.random((7, 96)).astype(np.float32) * 50.0
+    f[rng.random((7, 96)) < 0.5] = np.inf
+    f[:, 11] = 0.0
+    ref = np.asarray(edt._parabolic_envelope_last(jnp.asarray(f), 64))
+    for fn, kw in [
+            (edt_pallas.parabolic_envelope_last_pallas,
+             dict(tile_lines=128)),
+            (edt_pallas.parabolic_envelope_last_pallas_windowed,
+             dict(tile_lines=128, tile_q=16)),
+            (edt_pallas.parabolic_envelope_last_pallas_bestfirst,
+             dict(tile_lines=128, tile_q=16))]:
+        out = np.asarray(fn(jnp.asarray(f), interpret=True, **kw))
+        np.testing.assert_array_equal(ref, out)

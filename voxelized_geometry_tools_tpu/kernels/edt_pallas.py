@@ -35,6 +35,60 @@ Array = jnp.ndarray
 _UNROLL = 16
 
 
+def _launch_envelope(kernel, f: Array, tile_lines: int, tile_q,
+                     interpret: bool) -> Array:
+    """Shared pad/transpose/pallas_call/slice plumbing for the three
+    envelope kernels (one definition so padding fixes cannot diverge).
+
+    Padding values are load-bearing: the POSITION axis pads with ``+inf``
+    (an inf candidate never wins a min), but the LINE axis pads with
+    ``0.0`` — an inf-padded lane would pin its outputs at inf, making
+    ``max(d)`` over any tile containing it inf and DEFEATING the adaptive
+    early exit entirely (the tile degrades to the full O(n^2) sweep;
+    measured 13x in interpret mode). Zero-padded lanes converge
+    immediately, are exact for their (discarded) outputs, and at worst
+    loosen the best-first value bound in the single tile that contains
+    them. ``tile_q=None`` selects the full-sweep layout (1-D grid, whole
+    lines per program)."""
+    f = jnp.asarray(f, jnp.float32)
+    shape = f.shape
+    n = shape[-1]
+    lines = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+
+    # Pad positions to a common multiple of the chunk size and the q tile:
+    # a non-multiple pairing would leave padded_n % _UNROLL trailing rows
+    # outside n_ch = n // ch, silently dropping real candidates.
+    pad_n = (-n) % (_UNROLL if tile_q is None else math.lcm(_UNROLL, tile_q))
+    pad_l = (-lines) % tile_lines
+    ft = f.reshape(lines, n).T
+    if pad_n or pad_l:
+        ft = jnp.pad(ft, ((0, pad_n), (0, pad_l)),
+                     constant_values=((jnp.inf, jnp.inf), (0.0, 0.0)))
+    padded_n, padded_lines = ft.shape
+
+    if tile_q is None:
+        grid = (padded_lines // tile_lines,)
+        in_spec = pl.BlockSpec((padded_n, tile_lines), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((padded_n, tile_lines), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (padded_lines // tile_lines, padded_n // tile_q)
+        in_spec = pl.BlockSpec((padded_n, tile_lines), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((tile_q, tile_lines), lambda i, j: (j, i),
+                                memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel, grid=grid, in_specs=[in_spec], out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
+                                       jnp.float32, vma=jax.typeof(ft).vma),
+        interpret=interpret,
+    )(ft)
+    return out[:n, :lines].T.reshape(shape)
+
+
+
 def _envelope_kernel(ft_ref, out_ref):
     """out[q, l] = min_k (q - k)^2 + ft[k, l] over the whole line length."""
     n = ft_ref.shape[0]
@@ -62,32 +116,8 @@ def parabolic_envelope_last_pallas(f: Array, tile_lines: int = 1024,
     ``[..., n]`` float32 (``+inf`` allowed). ``interpret=True`` runs the
     kernel in the Pallas interpreter so exactness tests run on CPU.
     """
-    f = jnp.asarray(f, jnp.float32)
-    shape = f.shape
-    n = shape[-1]
-    lines = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
-
-    pad_n = (-n) % _UNROLL
-    pad_l = (-lines) % tile_lines
-    # Lines on lanes, axis positions on sublanes (see module docstring).
-    ft = f.reshape(lines, n).T
-    if pad_n or pad_l:
-        ft = jnp.pad(ft, ((0, pad_n), (0, pad_l)), constant_values=jnp.inf)
-    padded_n, padded_lines = ft.shape
-
-    out = pl.pallas_call(
-        _envelope_kernel,
-        grid=(padded_lines // tile_lines,),
-        in_specs=[pl.BlockSpec((padded_n, tile_lines), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((padded_n, tile_lines), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
-                                       jnp.float32,
-                                       vma=jax.typeof(ft).vma),
-        interpret=interpret,
-    )(ft)
-    return out[:n, :lines].T.reshape(shape)
+    return _launch_envelope(_envelope_kernel, f, tile_lines, None,
+                            interpret)
 
 
 def squared_edt_pallas(seed: Array, tile_lines: int = 1024,
@@ -153,8 +183,10 @@ def _windowed_kernel(ft_ref, out_ref):
         dh = (hi * ch - (q0 + tq - 1)).astype(jnp.float32)
         bound = jnp.minimum(jnp.where(more_lo, db * db, jnp.inf),
                             jnp.where(more_hi, dh * dh, jnp.inf))
-        dmax = jnp.max(d)
-        can_improve = (bound < dmax) | jnp.isinf(dmax)
+        # (bound < inf is already true whenever dmax is inf, and bound is
+        # only inf when both sides are exhausted — which the conjunction
+        # below also kills — so no special inf handling is needed.)
+        can_improve = bound < jnp.max(d)
         return (more_lo | more_hi) & can_improve
 
     def body(state):
@@ -176,39 +208,15 @@ def parabolic_envelope_last_pallas_windowed(
         interpret: bool = False) -> Array:
     """Exact windowed 1-D squared-distance transform along the last axis.
 
-    Same result as :func:`parabolic_envelope_last_pallas`, but each
-    ``[tile_q, tile_lines]`` output tile consumes k chunks outward from the
-    diagonal and early-exits on the parabola bound — O(n * window) where the
-    window adapts to the scene's true distances (fast when surfaces are
-    near, never worse than the full sweep + bound checks)."""
-    f = jnp.asarray(f, jnp.float32)
-    shape = f.shape
-    n = shape[-1]
-    lines = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
-
-    # Pad to a common multiple of the chunk size and the q tile: a
-    # non-multiple pairing would leave padded_n % _UNROLL trailing rows
-    # outside n_ch = n // ch, silently dropping real candidates.
-    pad_n = (-n) % math.lcm(_UNROLL, tile_q)
-    pad_l = (-lines) % tile_lines
-    ft = f.reshape(lines, n).T
-    if pad_n or pad_l:
-        ft = jnp.pad(ft, ((0, pad_n), (0, pad_l)), constant_values=jnp.inf)
-    padded_n, padded_lines = ft.shape
-
-    out = pl.pallas_call(
-        _windowed_kernel,
-        grid=(padded_lines // tile_lines, padded_n // tile_q),
-        in_specs=[pl.BlockSpec((padded_n, tile_lines), lambda i, j: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tile_q, tile_lines), lambda i, j: (j, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
-                                       jnp.float32,
-                                       vma=jax.typeof(ft).vma),
-        interpret=interpret,
-    )(ft)
-    return out[:n, :lines].T.reshape(shape)
+    Same result as :func:`parabolic_envelope_last_pallas` FOR ``f >= 0``
+    (true for every EDT field — squared distances): the geometric-only
+    stop bound assumes a candidate can only improve a tile entry from
+    within ``(q-k)^2 < max(d)``, which a negative far value would violate.
+    Each ``[tile_q, tile_lines]`` output tile consumes k chunks outward
+    from the diagonal and early-exits on the parabola bound — O(n *
+    window) where the window adapts to the scene's true distances."""
+    return _launch_envelope(_windowed_kernel, f, tile_lines, tile_q,
+                            interpret)
 
 
 def _bestfirst_kernel(ft_ref, out_ref):
@@ -277,32 +285,8 @@ def parabolic_envelope_last_pallas_bestfirst(
         f: Array, tile_lines: int = 1024, tile_q: int = 32,
         interpret: bool = False) -> Array:
     """Exact 1-D squared-distance transform, best-first chunk order (see
-    :func:`_bestfirst_kernel`). Requires ``f >= 0`` (true for EDT fields)."""
-    f = jnp.asarray(f, jnp.float32)
-    shape = f.shape
-    n = shape[-1]
-    lines = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
-
-    # Pad to a common multiple of the chunk size and the q tile: a
-    # non-multiple pairing would leave padded_n % _UNROLL trailing rows
-    # outside n_ch = n // ch, silently dropping real candidates.
-    pad_n = (-n) % math.lcm(_UNROLL, tile_q)
-    pad_l = (-lines) % tile_lines
-    ft = f.reshape(lines, n).T
-    if pad_n or pad_l:
-        ft = jnp.pad(ft, ((0, pad_n), (0, pad_l)), constant_values=jnp.inf)
-    padded_n, padded_lines = ft.shape
-
-    out = pl.pallas_call(
-        _bestfirst_kernel,
-        grid=(padded_lines // tile_lines, padded_n // tile_q),
-        in_specs=[pl.BlockSpec((padded_n, tile_lines), lambda i, j: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tile_q, tile_lines), lambda i, j: (j, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
-                                       jnp.float32,
-                                       vma=jax.typeof(ft).vma),
-        interpret=interpret,
-    )(ft)
-    return out[:n, :lines].T.reshape(shape)
+    :func:`_bestfirst_kernel`). Sign-safe for ANY ``f``: the per-chunk
+    bound ``geom^2 + min f[chunk]`` lower-bounds every candidate including
+    negative values (unlike the windowed kernel's geometric-only bound)."""
+    return _launch_envelope(_bestfirst_kernel, f, tile_lines, tile_q,
+                            interpret)

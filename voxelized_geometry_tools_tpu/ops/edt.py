@@ -151,7 +151,15 @@ def _envelope_last(f: Array, block: int, backend: str) -> Array:
             f, tile_lines=tl, tile_q=32)
     if backend == "pallas":
         from ..kernels import edt_pallas
-        return edt_pallas.parabolic_envelope_last_pallas(f)
+        # Same VMEM-aware shrink as the adaptive kernels: the full-sweep
+        # kernel also pins [padded_n, tile_lines] in+out blocks, so a
+        # fixed tile at long axes fails to compile on v5e.
+        n = int(f.shape[-1])
+        tl = 1024
+        budget_rows = (1 << 20) // max(n + 64, 1)
+        while tl > 256 and tl > budget_rows:
+            tl //= 2
+        return edt_pallas.parabolic_envelope_last_pallas(f, tile_lines=tl)
     if backend != "xla":
         raise ValueError(f"Unknown EDT backend {backend!r}")
     return _parabolic_envelope_last(f, block)
