@@ -171,3 +171,30 @@ def test_native_rejects_non_uniform_spec():
     cloud = voxelize.PointCloud.create(np.zeros((1, 3), np.float32))
     with pytest.raises(ValueError, match="uniform"):
         v.voxelize_pointclouds(env, voxelize.FilterOptions(), [cloud])
+
+
+def test_native_raycast_sentinel_and_nan_origin():
+    """Huge finite sentinel endpoints must carve toward the point (the
+    float->int64 cast previously overflowed and flipped the DDA step), and
+    NaN origins must skip the ray instead of UB."""
+    if not native.available():
+        pytest.skip("no native toolchain")
+    counts = (8, 8, 8)
+    origin = np.array([4.5, 4.5, 4.5], np.float32)
+    pts = np.array([[4.5, 4.5, -3.0e38],    # ~FLT_MAX sentinel, -z
+                    [np.nan, 4.5, 4.5]], np.float32)
+    # NaN ORIGIN row exercised via per-ray origins.
+    origins = np.stack([origin, np.array([np.nan, 4.5, 4.5], np.float32)])
+    free, filled = native.raycast(origins, pts, np.inf, counts, 1.0)
+    zs = sorted(np.argwhere(free > 0)[:, 2].tolist())
+    assert zs == [0, 1, 2, 3, 4], zs   # toward the sentinel, not away
+    assert filled.sum() == 0
+    # Matches the JAX walk on the sentinel ray.
+    from voxelized_geometry_tools_tpu import GridSpec
+    spec = GridSpec.from_voxel_counts(1.0, counts)
+    pose = np.eye(4, dtype=np.float32); pose[:3, 3] = origin
+    cloud = voxelize.PointCloud.create(
+        np.array([[0.0, 0.0, -3.0e38]], np.float32), pose)
+    import jax.numpy as jnp
+    walk = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud)
+    np.testing.assert_array_equal(free, np.asarray(walk.seen_free))

@@ -26,7 +26,21 @@ _FAILED = False
 
 def _build_path() -> str:
     with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h = hashlib.sha256(f.read())
+    # -march=native binaries are ISA-specific: a cache dir shared across
+    # heterogeneous machines (network FS, container images) must not serve
+    # another host's build (SIGILL). Fold the machine + CPU flags in.
+    import platform
+    h.update(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as c:
+            for line in c:
+                if line.startswith("flags"):
+                    h.update(line.encode())
+                    break
+    except OSError:
+        pass
+    digest = h.hexdigest()[:16]
     cache_dir = os.environ.get("VGT_NATIVE_CACHE",
                                os.path.join(os.path.dirname(_SRC), ".cache"))
     os.makedirs(cache_dir, exist_ok=True)

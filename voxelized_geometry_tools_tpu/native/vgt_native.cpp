@@ -1,6 +1,7 @@
 // Native CPU runtime for voxelized_geometry_tools_tpu.
 //
-// Multithreaded C++17 implementations of the three hot dense passes —
+// Multithreaded C++20 implementations (std::atomic_ref) of the three hot
+// dense passes —
 // the separable Euclidean distance transform, DDA ray carving, and the
 // multi-camera fusion filter — exposed through a C ABI for ctypes.
 //
@@ -168,13 +169,20 @@ void vgt_edt_sdf(const uint8_t* filled, int64_t nx, int64_t ny, int64_t nz,
   const int64_t n = nx * ny * nz;
   std::vector<double> dist_filled(static_cast<size_t>(n));
   std::vector<double> dist_free(static_cast<size_t>(n));
-  for (int64_t i = 0; i < n; ++i) {
+  ParallelFor(n, num_threads, [&](int64_t i) {
     const bool f = filled[i] != 0;
     dist_filled[static_cast<size_t>(i)] = f ? 0.0 : kInf;
     dist_free[static_cast<size_t>(i)] = f ? kInf : 0.0;
-  }
-  Edt3D(dist_filled.data(), nx, ny, nz, num_threads);
-  Edt3D(dist_free.data(), nx, ny, nz, num_threads);
+  });
+  // The two fields are independent: run them concurrently with the
+  // thread budget split (they were serial, idling half the cores of the
+  // baseline this function exists to provide).
+  const int t_half = std::max(1, num_threads / 2);
+  std::thread other([&] {
+    Edt3D(dist_filled.data(), nx, ny, nz, t_half);
+  });
+  Edt3D(dist_free.data(), nx, ny, nz, std::max(1, num_threads - t_half));
+  other.join();
   ParallelFor(n, num_threads, [&](int64_t i) {
     const double df = std::sqrt(dist_filled[static_cast<size_t>(i)]);
     const double dr = std::sqrt(dist_free[static_cast<size_t>(i)]);
@@ -210,6 +218,10 @@ void vgt_raycast(const float* origins, const float* points, int64_t n_points,
     double pz = double(points[i * 3 + 2]);
     if (!std::isfinite(px) || !std::isfinite(py) || !std::isfinite(pz))
       return;
+    // A NaN origin would poison the slab test and cast to garbage cell
+    // indices (UB) instead of skipping the ray.
+    if (!std::isfinite(ox) || !std::isfinite(oy) || !std::isfinite(oz))
+      return;
 
     double rx = px - ox, ry = py - oy, rz = pz - oz;
     const double len = std::sqrt(rx * rx + ry * ry + rz * rz);
@@ -219,6 +231,26 @@ void vgt_raycast(const float* origins, const float* points, int64_t n_points,
       px = ox + rx * s;
       py = oy + ry * s;
       pz = oz + rz * s;
+    }
+    // Far-endpoint clamp (mirrors ops/voxelize._prepare_rays): a huge
+    // finite endpoint (FLT_MAX depth sentinel with max_range=inf)
+    // overflows the float->int64 cast in cell_of (UB), flipping the DDA
+    // step sign. Endpoints beyond the grid's far corner are
+    // interchangeable — out of grid either way, identical in-grid span.
+    {
+      const double fcx = std::max(std::fabs(ox), std::fabs(gx - ox));
+      const double fcy = std::max(std::fabs(oy), std::fabs(gy - oy));
+      const double fcz = std::max(std::fabs(oz), std::fabs(gz - oz));
+      const double l_safe =
+          std::sqrt(fcx * fcx + fcy * fcy + fcz * fcz) + 2.0 * res;
+      const double ex = px - ox, ey = py - oy, ez = pz - oz;
+      const double d_fin = std::sqrt(ex * ex + ey * ey + ez * ez);
+      if (d_fin > l_safe) {
+        const double s = l_safe / d_fin;
+        px = ox + ex * s;
+        py = oy + ey * s;
+        pz = oz + ez * s;
+      }
     }
 
     double startx = ox, starty = oy, startz = oz;
@@ -307,8 +339,12 @@ void vgt_filter(const int32_t* seen_free, const int32_t* seen_filled,
       int32_t nh = seen_filled[c * n_voxels + v];
       if (nh < outlier_points_threshold) nh = 0;
       if (nf > 0 && nh > 0) {
-        const double pct = double(nf) / double(nf + nh);
-        if (pct >= double(percent_seen_free)) {
+        // float, not double: the JAX path (counts_seen_as) computes the
+        // percentage in f32, and this backend is its equality oracle —
+        // double here flips voxels at exact threshold boundaries
+        // (e.g. percent_seen_free = 1/3 with nf=1, nh=2).
+        const float pct = float(nf) / float(nf + nh);
+        if (pct >= percent_seen_free) {
           ++cams_free;
         } else {
           ++cams_filled;
