@@ -9,15 +9,14 @@ cached-validity flags mirror the reference's invalidation-on-write semantics
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.grid import GridSpec, get_index_values
-from ..core.maps import (
-    OccupancyComponentMap, OccupancyMap, SignedDistanceField,
-    TaggedObjectOccupancyComponentMap, TaggedObjectOccupancyMap)
+from ..core.grid import get_index_values
+from ..core.maps import (SignedDistanceField,
+                         TaggedObjectOccupancyComponentMap)
 from . import edt, sdf_query, topology
 
 Array = jnp.ndarray
@@ -43,7 +42,14 @@ def update_tagged_connected_components(
         connect_across_objects: bool = False
 ) -> TaggedObjectOccupancyComponentMap:
     """``TaggedObjectOccupancyComponentMap::UpdateConnectedComponents``
-    (tagged_object_occupancy_component_map.cpp:689-773)."""
+    (tagged_object_occupancy_component_map.cpp:689-773).
+
+    Mirrors the reference's ``components_valid_`` early-out — which means
+    the PARAMETER is part of the cached state: a labeling computed under
+    one ``connect_across_objects`` is returned verbatim for the other
+    value. Force a recompute with
+    ``omap.replace(components_valid=False)`` when changing the flag
+    (same rule as the reference's mutate-then-update flow)."""
     if omap.components_valid:
         return omap
     components, num = topology.connected_components_by_occupancy(
@@ -57,13 +63,17 @@ def update_tagged_connected_components(
 
 def extract_signed_distance_field(omap, oob_value: float = float("inf"),
                                   unknown_is_filled: bool = True,
-                                  add_virtual_border: bool = False
-                                  ) -> SignedDistanceField:
-    """SDF from any occupancy-carrying map (occupancy_map.hpp:174-210)."""
+                                  add_virtual_border: bool = False,
+                                  **edt_kwargs) -> SignedDistanceField:
+    """SDF from any occupancy-carrying map (occupancy_map.hpp:174-210).
+    ``edt_kwargs`` reach :func:`..ops.edt.extract_sdf_from_occupancy` —
+    ``dtype=jnp.float64`` is the reference's ``<double>`` instantiation
+    (ExtractSignedDistanceFieldDouble), ``streaming``/``block`` control the
+    pipeline."""
     return edt.extract_sdf_from_occupancy(
         omap.occupancy, omap.spec, omap.origin_transform, frame=omap.frame,
         oob_value=oob_value, unknown_is_filled=unknown_is_filled,
-        add_virtual_border=add_virtual_border)
+        add_virtual_border=add_virtual_border, **edt_kwargs)
 
 
 def _tagged_filled_mask(omap, objects_to_use: Sequence[int],
@@ -72,24 +82,28 @@ def _tagged_filled_mask(omap, objects_to_use: Sequence[int],
                                                 unknown_is_filled)
     if len(objects_to_use) == 0:
         return occ_filled
-    in_set = jnp.zeros(omap.occupancy.shape, dtype=bool)
-    for oid in objects_to_use:
-        in_set = in_set | (omap.object_id == jnp.uint32(oid))
+    ids = np.asarray(list(objects_to_use))
+    if (ids < 0).any() or (ids > np.iinfo(np.uint32).max).any():
+        raise ValueError(f"object ids out of uint32 range: {ids}")
+    in_set = jnp.isin(omap.object_id, jnp.asarray(ids, jnp.uint32))
     return occ_filled & in_set
 
 
 def extract_tagged_signed_distance_field(
         omap, objects_to_use: Sequence[int] = (),
         oob_value: float = float("inf"), unknown_is_filled: bool = True,
-        add_virtual_border: bool = False) -> SignedDistanceField:
+        add_virtual_border: bool = False,
+        **edt_kwargs) -> SignedDistanceField:
     """``TaggedObject*Map::ExtractSignedDistanceField(objects_to_use, ...)``
     (tagged_object_occupancy_component_map.hpp:360-409): only voxels whose
     object id is in ``objects_to_use`` (or all, when empty) count as
-    filled."""
+    filled. ``edt_kwargs``: see :func:`extract_signed_distance_field`
+    (``dtype=jnp.float64`` = the reference ``<double>`` variants)."""
     mask = _tagged_filled_mask(omap, objects_to_use, unknown_is_filled)
     return edt.extract_signed_distance_field(
         mask, omap.spec, omap.origin_transform, frame=omap.frame,
-        oob_value=oob_value, add_virtual_border=add_virtual_border)
+        oob_value=oob_value, add_virtual_border=add_virtual_border,
+        **edt_kwargs)
 
 
 def make_separate_object_sdfs(omap, object_ids: Sequence[int],
@@ -186,7 +200,11 @@ def update_spatial_segments(
 
 def is_surface_index(omap, index=None) -> Array:
     """Occupancy surface mask (occupancy_map.cpp:201-248); full-grid or
-    gathered at ``index``."""
+    gathered at ``index``. Out-of-bounds indices gather ``False`` — the
+    payload of the reference's empty ``OwningMaybe``; callers needing the
+    OOB/valid distinction should test
+    ``omap.spec.check_grid_index_in_bounds(index)`` alongside (the
+    query-object style of :func:`check_if_candidate_corner`)."""
     mask = topology.is_surface_index(omap.occupancy)
     if index is None:
         return mask
