@@ -461,3 +461,34 @@ def test_dsh_separate_display():
     # allocated chunks default to 0.5 (unknown).
     assert markers[0].num_cells == 2
     assert markers[1].num_cells == 1
+
+
+def test_f64_sdf_origin_roundtrips_at_full_precision(tmp_path):
+    """A double SDF's origin transform must survive save/load without an
+    f32 round trip (ulp at 1e7 is ~1 meter in f32)."""
+    import jax
+    with jax.enable_x64():
+        spec = GridSpec.from_voxel_counts(1.0, (4, 4, 4))
+        t = np.eye(4)
+        t[:3, 3] = (1e7 + 0.123, -2.5, 7.0)
+        sdf = SignedDistanceField.create(
+            spec, jnp.zeros((4, 4, 4), jnp.float64), t, dtype=jnp.float64,
+            locked=True)
+        path = tmp_path / "f64.sdf"
+        serialization.save_to_file(sdf, str(path))
+        loaded = serialization.load_from_file(str(path))
+        assert loaded.origin_transform.dtype == jnp.float64
+        assert float(loaded.origin_transform[0, 3]) == 1e7 + 0.123
+
+
+def test_corrupt_payloads_raise_valueerror():
+    spec = GridSpec.from_voxel_counts(1.0, (3, 3, 3))
+    m = OccupancyMap.create(spec)
+    blob = serialization.to_file_bytes(m, compress=False)
+    # Unknown kind fails BEFORE body parsing, with the intended error.
+    bad_kind = blob[:8] + (99).to_bytes(4, "little") + blob[12:]
+    with pytest.raises(ValueError, match="kind"):
+        serialization.from_file_bytes(bad_kind)
+    # Truncation maps to the ValueError contract, not raw struct.error.
+    with pytest.raises(ValueError):
+        serialization.from_file_bytes(blob[: len(blob) // 2])

@@ -14,7 +14,7 @@ magics, compression flag, and round-trip semantics (frame, origin transform,
 locked flag, scalar-type tag) are preserved.
 
 VGT-TPU v2 payload (little-endian):
-  u32   format version (1)
+  u32   format version (2; v1 files — no component-metadata block — load)
   u32   map kind tag
   u8    scalar type tag (4 = f32, 8 = f64) — SDF only, mirrored from
         msg/SignedDistanceFieldMessage.msg:3-6
@@ -95,6 +95,26 @@ def _read_channel(buf: io.BytesIO, counts) -> Tuple[str, np.ndarray]:
     return name, arr
 
 
+def _map_kind(m) -> int:
+    """Kind tag from type alone — no device-to-host channel materialization
+    (to_file_bytes previously pulled every channel twice: once for the
+    discarded kind lookup, once inside serialize)."""
+    from .dsh import DynamicSpatialHashedOccupancyMap
+    if isinstance(m, DynamicSpatialHashedOccupancyMap):
+        return _KIND_DSH
+    if isinstance(m, SignedDistanceField):
+        return _KIND_SDF
+    if isinstance(m, TaggedObjectOccupancyComponentMap):
+        return _KIND_TAGGED_COMPONENT
+    if isinstance(m, TaggedObjectOccupancyMap):
+        return _KIND_TAGGED
+    if isinstance(m, OccupancyComponentMap):
+        return _KIND_OCCUPANCY_COMPONENT
+    if isinstance(m, OccupancyMap):
+        return _KIND_OCCUPANCY
+    raise TypeError(f"Unsupported map type: {type(m)}")
+
+
 def _map_kind_and_channels(m) -> Tuple[int, Dict[str, np.ndarray], dict]:
     extra = {}
     if isinstance(m, SignedDistanceField):
@@ -170,6 +190,11 @@ def deserialize(data: bytes):
         return DynamicSpatialHashedOccupancyMap.deserialize(data)
     if version not in (1, _VERSION):
         raise ValueError(f"Unsupported format version {version}")
+    if kind not in (_KIND_SDF, _KIND_OCCUPANCY, _KIND_OCCUPANCY_COMPONENT,
+                    _KIND_TAGGED, _KIND_TAGGED_COMPONENT):
+        # Validate BEFORE parsing the body: a corrupt/future kind would
+        # otherwise die mid-parse with a confusing struct/numpy error.
+        raise ValueError(f"Unknown map kind {kind}")
     locked = False
     oob_value = float("inf")
     meta = {}
@@ -203,6 +228,10 @@ def deserialize(data: bytes):
         channels[name] = jnp.asarray(arr)
 
     spec = GridSpec(tuple(counts), resolution)
+    # Hand the RAW f64 origin to create: _default_transform casts it to the
+    # map's scalar dtype, so a double SDF keeps the full-precision origin
+    # the file stored (a premature f32 cast here destroyed it).
+    origin64 = np.ascontiguousarray(origin)
     origin32 = jnp.asarray(origin, jnp.float32)
 
     if kind == _KIND_SDF:
@@ -211,8 +240,8 @@ def deserialize(data: bytes):
         stored = channels["distances"]
         dtype = stored.dtype if stored.dtype == jnp.float64 else jnp.float32
         return SignedDistanceField.create(
-            spec, stored, origin32, frame,
-            oob_value=oob_value, locked=locked, dtype=dtype)
+            spec, stored, origin64 if dtype == jnp.float64 else origin32,
+            frame, oob_value=oob_value, locked=locked, dtype=dtype)
     if kind == _KIND_TAGGED_COMPONENT:
         m = TaggedObjectOccupancyComponentMap.create(spec, origin32, frame)
         return m.replace(**channels, **meta)
@@ -231,12 +260,7 @@ def deserialize(data: bytes):
 def to_file_bytes(m, compress: bool = True) -> bytes:
     """Full file image: 4-byte magic + (optionally zlib-compressed) payload,
     matching the reference's SaveToFile envelope."""
-    from .dsh import DynamicSpatialHashedOccupancyMap
-    if isinstance(m, DynamicSpatialHashedOccupancyMap):
-        kind = _KIND_DSH
-    else:
-        kind, _, _ = _map_kind_and_channels(m)
-    magic_z, magic_r = _MAGICS[kind]
+    magic_z, magic_r = _MAGICS[_map_kind(m)]
     payload = serialize(m)
     if compress:
         return magic_z + zlib.compress(payload)
@@ -248,14 +272,21 @@ def from_file_bytes(data: bytes):
     if len(data) < 4:
         raise ValueError("File is too small")
     magic, payload = data[:4], data[4:]
-    if magic in (b"SDFZ", b"CMGZ", b"TMGZ", b"DMGZ"):
+    magics_z = {z for z, _ in _MAGICS.values()}
+    magics_r = {r for _, r in _MAGICS.values()}
+    if magic in magics_z:
         try:
             payload = zlib.decompress(payload)
         except zlib.error as e:
             raise ValueError(f"Corrupt compressed payload: {e}") from e
-    elif magic not in (b"SDFR", b"CMGR", b"TMGR", b"DMGR"):
+    elif magic not in magics_r:
         raise ValueError(f"File has invalid header [{magic!r}]")
-    return deserialize(payload)
+    try:
+        return deserialize(payload)
+    except (struct.error, IndexError) as e:
+        # Truncated payloads otherwise escape as raw struct errors,
+        # breaking this function's ValueError contract.
+        raise ValueError(f"Corrupt payload: {e}") from e
 
 
 def save_to_file(m, filepath: str, compress: bool = True):
