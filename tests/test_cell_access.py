@@ -180,3 +180,39 @@ def test_non_isometry_origin_rejected():
         OccupancyMap.create(spec, bad)
     with pytest.raises(ValueError, match="isometry"):
         SignedDistanceField.create(spec, jnp.zeros((4, 4, 4)), bad)
+
+
+def test_grid_spec_validation_edges():
+    import math
+    # NaN/inf sizes must not construct (NaN compares False both ways).
+    with pytest.raises(ValueError):
+        GridSpec((4, 4, 4), float("nan"))
+    with pytest.raises(ValueError):
+        GridSpec((4, 4, 4), 0.1, voxel_sizes=(0.1, float("nan"), 0.2))
+    with pytest.raises(ValueError):
+        GridSpec((4, 4, 4), 0.1, voxel_sizes=(0.1, float("inf"), 0.2))
+    # Wrong-length tuples fail at construction, not later.
+    with pytest.raises(ValueError, match="3 entries"):
+        GridSpec((4, 4, 4), 0.1, voxel_sizes=(0.1, 0.1))
+    # Same nominal size at f32 precision is accepted; resolution snaps.
+    s = GridSpec((4, 4, 4), 0.1, voxel_sizes=(np.float32(0.1),) * 3)
+    assert s.resolution == float(np.float32(0.1))
+    assert s.has_uniform_voxel_size
+    # Genuinely different X size still rejected.
+    with pytest.raises(ValueError, match="VoxelXSize"):
+        GridSpec((4, 4, 4), 0.1, voxel_sizes=(0.2, 0.2, 0.2))
+    assert math.isclose(s.grid_sizes[0], 0.4, rel_tol=1e-6)
+
+
+def test_non_uniform_spec_rejected_by_mesh_and_serialization():
+    from voxelized_geometry_tools_tpu.ops import mesh
+    from voxelized_geometry_tools_tpu.core import serialization
+    spec = GridSpec.from_voxel_sizes((0.1, 0.2, 0.1), (4, 4, 4))
+    omap = OccupancyMap(origin_transform=jnp.eye(4),
+                        occupancy=jnp.zeros((4, 4, 4)), spec=spec, frame="")
+    v = np.array([[0.05, 0.05, 0.05], [0.3, 0.05, 0.05],
+                  [0.05, 0.3, 0.05]], np.float32)
+    with pytest.raises(ValueError, match="uniform"):
+        mesh.rasterize_mesh(omap, v, np.array([[0, 1, 2]]))
+    with pytest.raises(ValueError, match="uniform"):
+        serialization.serialize(omap)

@@ -16,10 +16,12 @@ Conventions (matching the reference semantics inferred from
 and /root/reference/test/sdf_generation_test.cpp fixtures):
 
 * The grid-frame origin is the *minimum corner* of voxel ``(0, 0, 0)``; the
-  grid spans ``[0, counts[i] * resolution)`` along axis ``i`` in grid frame.
+  grid spans ``[0, counts[i] * voxel_sizes[i])`` along axis ``i`` in grid
+  frame (``voxel_sizes == (resolution,) * 3`` for the uniform specs every
+  map type enforces).
 * ``origin_transform`` (``X_WG``) maps grid-frame points to world frame.
-* ``location -> index`` is ``floor(p_grid / resolution)`` per axis.
-* ``index -> location`` is the *cell center* ``(index + 0.5) * resolution``.
+* ``location -> index`` is ``floor(p_grid / voxel_sizes)`` per axis.
+* ``index -> location`` is the cell center ``(index + 0.5) * voxel_sizes``.
 
 All functions are pure, jit-able, and vectorize over leading batch dims of the
 point arguments.
@@ -28,7 +30,8 @@ point arguments.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+import math
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -54,11 +57,13 @@ class GridSpec:
     # (``VoxelXSize`` — the value the reference's uniform-enforcing map
     # classes use everywhere after ``EnforceUniformVoxelSize``,
     # tagged_object_occupancy_map.hpp:118).
-    voxel_sizes: Tuple[float, float, float] = None
+    voxel_sizes: Optional[Tuple[float, float, float]] = None
 
     def __post_init__(self):
-        if self.resolution <= 0.0:
-            raise ValueError("resolution must be > 0")
+        # not (x > 0) instead of x <= 0: NaN compares False both ways and
+        # would otherwise construct a spec that poisons all index math.
+        if not (math.isfinite(self.resolution) and self.resolution > 0.0):
+            raise ValueError("resolution must be a positive finite number")
         if any(int(c) <= 0 for c in self.counts):
             raise ValueError("voxel counts must be positive")
         object.__setattr__(
@@ -68,11 +73,20 @@ class GridSpec:
             sizes = (self.resolution,) * 3
         else:
             sizes = tuple(float(s) for s in self.voxel_sizes)
-            if any(s <= 0.0 for s in sizes):
-                raise ValueError("voxel sizes must be > 0")
-            if sizes[0] != self.resolution:
+            if len(sizes) != 3:
+                raise ValueError(
+                    f"voxel_sizes must have 3 entries, got {len(sizes)}")
+            if any(not (math.isfinite(v) and v > 0.0) for v in sizes):
+                raise ValueError(
+                    "voxel sizes must be positive finite numbers")
+            # Tolerant comparison: the same nominal size given at f32 vs
+            # f64 precision must not be rejected; resolution snaps to the
+            # X size (VoxelXSize) when they agree within 1 ulp-ish.
+            if not math.isclose(sizes[0], self.resolution,
+                                rel_tol=1e-6, abs_tol=0.0):
                 raise ValueError(
                     "resolution must equal voxel_sizes[0] (VoxelXSize)")
+            object.__setattr__(self, "resolution", sizes[0])
         object.__setattr__(self, "voxel_sizes", sizes)
 
     # -- constructors ------------------------------------------------------
@@ -160,8 +174,8 @@ class GridSpec:
         field dtype so cell centers don't round through float32)."""
         idx = jnp.asarray(index)
         dt = jnp.dtype(dtype)
-        if self.has_uniform_voxel_size:
-            return (idx.astype(dt) + dt.type(0.5)) * dt.type(self.resolution)
+        # One path for uniform and per-axis sizes: multiplying by a
+        # vector of equal entries is bit-identical to the scalar multiply.
         sizes = jnp.asarray(self.voxel_sizes, dt)
         return (idx.astype(dt) + dt.type(0.5)) * sizes
 
@@ -172,9 +186,6 @@ class GridSpec:
         # resolution (0 for sub-unit resolutions) and emit garbage indices.
         if not jnp.issubdtype(p.dtype, jnp.floating):
             p = p.astype(jnp.float32)
-        if self.has_uniform_voxel_size:
-            return jnp.floor(
-                p[..., :3] / p.dtype.type(self.resolution)).astype(jnp.int32)
         sizes = jnp.asarray(self.voxel_sizes, p.dtype)
         return jnp.floor(p[..., :3] / sizes).astype(jnp.int32)
 

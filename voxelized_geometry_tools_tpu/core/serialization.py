@@ -152,6 +152,10 @@ def serialize(m) -> bytes:
     from .dsh import DynamicSpatialHashedOccupancyMap
     if isinstance(m, DynamicSpatialHashedOccupancyMap):
         return m.serialize()
+    # The payload stores only the scalar resolution; a non-uniform spec
+    # (constructible via the raw dataclass path) would silently collapse
+    # to uniform geometry on load — refuse instead.
+    m.spec.enforce_uniform_voxel_size()
     kind, channels, extra = _map_kind_and_channels(m)
     buf = io.BytesIO()
     buf.write(struct.pack("<II", _VERSION, kind))

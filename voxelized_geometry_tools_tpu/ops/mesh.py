@@ -141,6 +141,11 @@ def rasterize_mesh_into_channel(spec: GridSpec, origin_transform,
     """Rasterize triangles into an occupancy channel (``RasterizeMesh``,
     mesh_rasterizer.hpp:40-68). Vertices are world-frame ``[V, 3]``;
     ``triangles`` are ``[T, 3]`` vertex indices."""
+    # The window/fill-radius math uses the scalar resolution; reject
+    # non-uniform specs like every other raw-spec entry point (a 4x-wide
+    # z window with correct per-axis centers would voxelize silently
+    # wrong otherwise).
+    spec.enforce_uniform_voxel_size()
     vertices = np.asarray(vertices, dtype=np.float64)
     triangles = np.asarray(triangles, dtype=np.int64).reshape(-1, 3)
     if triangles.size == 0:
