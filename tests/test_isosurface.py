@@ -351,3 +351,22 @@ def test_weld_and_stats_reject_overflowed():
         isosurface.mesh_statistics(small)
     with pytest.raises(ValueError, match="overflowed"):
         isosurface.save_obj("/tmp/should_not_exist.obj", small)
+
+
+def test_export_marker_overflow_and_grid_pose():
+    from voxelized_geometry_tools_tpu.io import viz
+    sdf, _ = _sphere_sdf(n=16, radius_vox=4.0)
+    small = isosurface.extract_isosurface(sdf, max_triangles=16)
+    with pytest.raises(ValueError, match="overflowed"):
+        viz.export_isosurface_for_display(small, "bench")
+    # Grid-frame meshes carry the origin transform via the marker pose.
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = (1.0, -2.0, 3.0)
+    moved = sdf.replace(origin_transform=jnp.asarray(shift))
+    mg = isosurface.extract_isosurface(moved, max_triangles=4096,
+                                       frame="grid")
+    mk = viz.export_isosurface_for_display(mg, "bench",
+                                           pose=moved.origin_transform)
+    np.testing.assert_allclose(mk.pose, np.asarray(shift), atol=1e-7)
+    t, q = mk.pose_translation_quaternion()
+    np.testing.assert_allclose(t, (1.0, -2.0, 3.0), atol=1e-6)

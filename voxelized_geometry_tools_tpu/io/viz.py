@@ -37,6 +37,13 @@ _UNIQUE_COLORS = np.array([
 # >= 22 segments, ros_interface.cpp:1081 — so 21 palette slots must exist)
 
 
+def _pose_translation_quaternion(pose):
+    """Shared marker-pose conversion (one definition for both marker
+    kinds)."""
+    from ..core.transforms import isometry_to_pose
+    return isometry_to_pose(pose)
+
+
 @dataclasses.dataclass
 class VoxelMarker:
     """Data content of a CUBE_LIST marker."""
@@ -55,8 +62,7 @@ class VoxelMarker:
         """The marker pose as ``(translation[3], quaternion_wxyz[4])`` —
         what a ROS shim puts in ``Marker.pose``
         (``EigenIsometry3dToGeometryPose``, ros_interface.hpp:116-121)."""
-        from ..core.transforms import isometry_to_pose
-        return isometry_to_pose(self.pose)
+        return _pose_translation_quaternion(self.pose)
 
 
 def lookup_component_color(component: int, alpha: float = 1.0) -> np.ndarray:
@@ -505,22 +511,38 @@ class TriangleMarker:
         return self.points.shape[0] // 3
 
     def pose_translation_quaternion(self):
-        from ..core.transforms import isometry_to_pose
-        return isometry_to_pose(self.pose)
+        return _pose_translation_quaternion(self.pose)
 
 
 def export_isosurface_for_display(iso_mesh, frame: str,
                                   color=(0.2, 0.6, 0.9, 1.0),
-                                  ns: str = "isosurface") -> TriangleMarker:
-    """Pack an :class:`..ops.isosurface.IsoMesh` (already in the frame the
-    caller extracted it in) as a TRIANGLE_LIST marker, dropping invalid
-    capacity rows and degenerate slivers."""
+                                  ns: str = "isosurface",
+                                  pose=None) -> TriangleMarker:
+    """Pack an :class:`..ops.isosurface.IsoMesh` as a TRIANGLE_LIST marker,
+    dropping invalid capacity rows and degenerate slivers.
+
+    ``pose``: marker pose; pass the SDF's ``origin_transform`` for a mesh
+    extracted with ``frame="grid"`` (identity default suits world-frame
+    meshes — the positions already carry the transform). Raises on an
+    overflowed (truncated) mesh like the weld/statistics consumers: a
+    silently holed surface in the display is the worst failure mode.
+    """
+    if bool(iso_mesh.overflowed):
+        raise ValueError(
+            f"IsoMesh overflowed its capacity ({int(iso_mesh.num_triangles)}"
+            f" > {iso_mesh.capacity}) — re-extract with more max_triangles")
     v = np.asarray(iso_mesh.vertices)[np.asarray(iso_mesh.valid)]
     if v.size:
-        area2 = np.linalg.norm(
-            np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
-        v = v[area2 > 1e-12]
+        # Scale-relative sliver test (an absolute epsilon breaks at small
+        # world units): area against squared longest edge.
+        e = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0],
+                      v[:, 2] - v[:, 1]])
+        edge2 = (e * e).sum(-1).max(axis=0)
+        area2 = np.linalg.norm(np.cross(e[0], e[1]), axis=-1)
+        v = v[area2 > 1e-9 * np.maximum(edge2, 1e-300)]
     return TriangleMarker(
-        frame=frame, pose=np.eye(4, dtype=np.float64),
+        frame=frame,
+        pose=(np.eye(4, dtype=np.float64) if pose is None
+              else np.asarray(pose, np.float64)),
         points=np.ascontiguousarray(v.reshape(-1, 3).astype(np.float64)),
         color=np.asarray(color, np.float32), ns=ns)
