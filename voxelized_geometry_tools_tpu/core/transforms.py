@@ -65,6 +65,11 @@ def rotation_matrix_to_quaternion(rotation) -> np.ndarray:
     translation+quaternion pose of ``geometry_msgs::Pose``
     (``EigenIsometry3dToGeometryPose``, used at ros_interface.hpp:116-121)."""
     m = np.asarray(rotation, np.float64)[:3, :3]
+    # Validate at the boundary: a reflection (det < 0), scaled, or NaN
+    # matrix would otherwise return a silently wrong (or NaN) quaternion.
+    if not np.isfinite(m).all() or not np.allclose(
+            m @ m.T, np.eye(3), atol=1e-5) or np.linalg.det(m) < 0.0:
+        raise ValueError("not a proper rotation matrix")
     t = np.trace(m)
     if t > 0:
         r = np.sqrt(1.0 + t)
@@ -82,7 +87,7 @@ def rotation_matrix_to_quaternion(rotation) -> np.ndarray:
         q[1 + i] = 0.5 * r
         q[1 + j] = (m[j, i] + m[i, j]) * s
         q[1 + k] = (m[k, i] + m[i, k]) * s
-    return (q / np.linalg.norm(q)).astype(np.float64)
+    return q / np.linalg.norm(q)
 
 
 def isometry_to_pose(m) -> tuple:
