@@ -59,7 +59,11 @@ def test_quaternion_round_trip():
         transforms.isometry_from_quaternion_translation(
             [0.5, 0.5, 0.5, 0.5], (1.0, 2.0, 3.0)))
     np.testing.assert_allclose(t, [1.0, 2.0, 3.0], atol=1e-6)
-    np.testing.assert_allclose(np.abs(quat), [0.5, 0.5, 0.5, 0.5], atol=1e-6)
+    # Only a GLOBAL sign flip is legitimate (double cover); per-component
+    # abs() would also pass for different rotations.
+    target = np.asarray([0.5, 0.5, 0.5, 0.5])
+    assert (np.allclose(quat, target, atol=1e-6)
+            or np.allclose(quat, -target, atol=1e-6)), quat
 
 
 def test_voxel_marker_pose_quaternion():
