@@ -492,3 +492,33 @@ def test_corrupt_payloads_raise_valueerror():
     # Truncation maps to the ValueError contract, not raw struct.error.
     with pytest.raises(ValueError):
         serialization.from_file_bytes(blob[: len(blob) // 2])
+
+
+def test_pointcloud2_row_padding_endianness_and_overhang():
+    from voxelized_geometry_tools_tpu.io import pointcloud2 as pc2
+    pts = np.arange(12, dtype=np.float32).reshape(4, 3)
+    fields = [dict(name=n, offset=o, datatype=pc2.FLOAT32)
+              for n, o in (("x", 0), ("y", 4), ("z", 8))]
+    # Organized 2x2 cloud, point_step 12, row_step 32 (8 bytes padding).
+    data = b"".join(pts[r * 2: r * 2 + 2].tobytes() + b"\0" * 8
+                    for r in (0, 1))
+    out = pc2.points_from_pointcloud2(fields, 12, data, 4,
+                                      row_step=32, width=2)
+    np.testing.assert_array_equal(out, pts)
+    # Big-endian clouds are rejected, not silently byte-swapped.
+    with pytest.raises(ValueError, match="big-endian"):
+        pc2.points_from_pointcloud2(fields, 12, pts.tobytes(), 4,
+                                    is_bigendian=True)
+    # xyz overhanging point_step is a clear layout error.
+    bad = [dict(name=n, offset=o, datatype=pc2.FLOAT32)
+           for n, o in (("x", 8), ("y", 12), ("z", 16))]
+    with pytest.raises(ValueError, match="overhang"):
+        pc2.points_from_pointcloud2(bad, 16, b"\0" * 64, 4)
+    # Size mismatches name the cause instead of a reshape error.
+    with pytest.raises(ValueError, match="data size"):
+        pc2.points_from_pointcloud2(fields, 12, pts.tobytes()[:-4], 4)
+    # The full message path with row_step in the dict.
+    msg = dict(fields=fields, point_step=12, width=2, height=2, data=data,
+               row_step=32, is_bigendian=False)
+    cloud = pc2.pointcloud_from_pointcloud2(msg, np.eye(4))
+    np.testing.assert_array_equal(np.asarray(cloud.points), pts)
