@@ -522,3 +522,32 @@ def test_pointcloud2_row_padding_endianness_and_overhang():
                row_step=32, is_bigendian=False)
     cloud = pc2.pointcloud_from_pointcloud2(msg, np.eye(4))
     np.testing.assert_array_equal(np.asarray(cloud.points), pts)
+
+
+def test_message_wire_parity_sdf_field_names_and_tags():
+    """SDF messages must use the reference wire contract: field
+    'serialized_sdf', scalar_type 1 (float) / 2 (double) — a bridged real
+    SignedDistanceFieldMessage is loadable, including bytes payloads."""
+    from voxelized_geometry_tools_tpu.io import messages
+    assert messages.SCALAR_TYPE_FLOAT == 1   # msg spec values, not the
+    assert messages.SCALAR_TYPE_DOUBLE == 2  # internal dtype tags
+    spec = GridSpec.from_voxel_counts(1.0, (3, 3, 3))
+    sdf = SignedDistanceField.create(spec, jnp.zeros((3, 3, 3)),
+                                     locked=True)
+    msg = messages.get_message_representation(sdf)
+    assert "serialized_sdf" in msg and "serialized_map" not in msg
+    assert msg["scalar_type"] == 1
+    # bytes payloads (rospy-style) load fine.
+    msg["serialized_sdf"] = bytes(msg["serialized_sdf"])
+    loaded = messages.load_from_message_representation(msg)
+    assert loaded.spec == spec
+    # A mismatched tag raises like the reference loader.
+    msg["scalar_type"] = 2
+    with pytest.raises(ValueError, match="scalar type"):
+        messages.load_from_message_representation(msg)
+    # Corrupt payloads map to ValueError, not zlib.error.
+    m2 = messages.get_message_representation(OccupancyMap.create(spec))
+    assert "serialized_map" in m2
+    m2["serialized_map"] = m2["serialized_map"][:10]
+    with pytest.raises(ValueError):
+        messages.load_from_message_representation(m2)
