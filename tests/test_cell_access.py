@@ -216,3 +216,26 @@ def test_non_uniform_spec_rejected_by_mesh_and_serialization():
         mesh.rasterize_mesh(omap, v, np.array([[0, 1, 2]]))
     with pytest.raises(ValueError, match="uniform"):
         serialization.serialize(omap)
+
+
+def test_conversions_preserve_transform_and_tag_occupied_only():
+    from voxelized_geometry_tools_tpu.core import conversions
+    spec = GridSpec.from_voxel_counts(0.5, (4, 4, 4))
+    # A pose that drifted slightly from orthonormal (gradient-optimized):
+    # conversions must copy it verbatim, not re-validate and reject.
+    t = np.eye(4, dtype=np.float32)
+    t[0, 1] = 5e-4
+    m = OccupancyMap.create(spec, None, "w").replace(
+        origin_transform=jnp.asarray(t))
+    occ = np.full((4, 4, 4), 0.0, np.float32)
+    occ[1, 1, 1] = 1.0
+    m = m.replace(occupancy=jnp.asarray(occ))
+    cm = conversions.to_occupancy_component_map(m)
+    np.testing.assert_array_equal(np.asarray(cm.origin_transform), t)
+    back = conversions.from_occupancy_component_map(cm)
+    np.testing.assert_array_equal(np.asarray(back.occupancy), occ)
+    # Lifting stamps the object id on OCCUPIED voxels only.
+    tagged = conversions.occupancy_map_to_tagged(m, object_id=7)
+    oid = np.asarray(tagged.object_id)
+    assert oid[1, 1, 1] == 7
+    assert (oid.sum() == 7)  # free cells stay 0

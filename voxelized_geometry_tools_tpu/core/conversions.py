@@ -5,7 +5,13 @@ The reference converts cell-by-cell over the raw backing store; here the
 channels are already struct-of-arrays, so conversion is just channel
 selection/initialization. Component/segment labels are dropped going down and
 zero-initialized (= "not computed", cache invalid) going up, exactly like the
-reference's cell constructors."""
+reference's cell constructors.
+
+The origin-transform leaf is copied VERBATIM (``dataclasses.replace``, not
+re-validated through ``create``): the source map's transform is already
+legitimate by construction — re-validating could reject a gradient-
+optimized pose that drifted slightly from orthonormal, and would downcast
+a float64 transform to float32, breaking the "lossless" contract."""
 
 from __future__ import annotations
 
@@ -18,38 +24,44 @@ from .maps import (
 
 def to_occupancy_component_map(omap: OccupancyMap) -> OccupancyComponentMap:
     """``ConvertToOccupancyComponentMap``."""
-    out = OccupancyComponentMap.create(omap.spec, omap.origin_transform,
-                                       omap.frame)
-    return out.replace(occupancy=omap.occupancy, components_valid=False)
+    out = OccupancyComponentMap.create(omap.spec, None, omap.frame)
+    return out.replace(origin_transform=omap.origin_transform,
+                       occupancy=omap.occupancy)
 
 
 def from_occupancy_component_map(omap: OccupancyComponentMap) -> OccupancyMap:
     """``ConvertFromOccupancyComponentMap``."""
-    out = OccupancyMap.create(omap.spec, omap.origin_transform, omap.frame)
-    return out.replace(occupancy=omap.occupancy)
+    out = OccupancyMap.create(omap.spec, None, omap.frame)
+    return out.replace(origin_transform=omap.origin_transform,
+                       occupancy=omap.occupancy)
 
 
 def to_tagged_object_occupancy_component_map(
         omap: TaggedObjectOccupancyMap) -> TaggedObjectOccupancyComponentMap:
     """``ConvertToTaggedObjectOccupancyComponentMap``."""
-    out = TaggedObjectOccupancyComponentMap.create(
-        omap.spec, omap.origin_transform, omap.frame)
-    return out.replace(occupancy=omap.occupancy, object_id=omap.object_id,
-                       components_valid=False, spatial_segments_valid=False)
+    out = TaggedObjectOccupancyComponentMap.create(omap.spec, None,
+                                                   omap.frame)
+    return out.replace(origin_transform=omap.origin_transform,
+                       occupancy=omap.occupancy, object_id=omap.object_id)
 
 
 def from_tagged_object_occupancy_component_map(
         omap: TaggedObjectOccupancyComponentMap) -> TaggedObjectOccupancyMap:
     """``ConvertFromTaggedObjectOccupancyComponentMap``."""
-    out = TaggedObjectOccupancyMap.create(omap.spec, omap.origin_transform,
-                                          omap.frame)
-    return out.replace(occupancy=omap.occupancy, object_id=omap.object_id)
+    out = TaggedObjectOccupancyMap.create(omap.spec, None, omap.frame)
+    return out.replace(origin_transform=omap.origin_transform,
+                       occupancy=omap.occupancy, object_id=omap.object_id)
 
 
 def occupancy_map_to_tagged(omap: OccupancyMap,
                             object_id: int = 0) -> TaggedObjectOccupancyMap:
-    """Convenience lift: occupancy -> tagged with a uniform object id."""
-    out = TaggedObjectOccupancyMap.create(
-        omap.spec, omap.origin_transform, omap.frame,
-        default_object_id=object_id)
-    return out.replace(occupancy=omap.occupancy)
+    """Convenience lift: occupancy -> tagged, stamping ``object_id`` on
+    OCCUPIED voxels only — free/unknown cells keep id 0 (named free space
+    is reserved for genuinely tagged cells; a uniform stamp would make
+    free voxels satisfy the ``object_id > 0`` named-space predicates of
+    the spatial-segment pipeline)."""
+    out = TaggedObjectOccupancyMap.create(omap.spec, None, omap.frame)
+    oid = jnp.where(omap.occupancy > 0.5, jnp.uint32(object_id),
+                    jnp.uint32(0))
+    return out.replace(origin_transform=omap.origin_transform,
+                       occupancy=omap.occupancy, object_id=oid)
