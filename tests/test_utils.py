@@ -7,11 +7,15 @@ from voxelized_geometry_tools_tpu.utils import PhaseTimer, trace
 
 def test_phase_timer_accumulates():
     timer = PhaseTimer()
-    with timer.phase("a"):
+    # The yielded list materializes the block's OWN outputs on exit — the
+    # pattern an entry-time-only argument binding could never support.
+    with timer.phase("a") as outs:
         x = jnp.arange(1000.0) * 2.0
-    with timer.phase("b", x):
+        outs.append(x)
+    with timer.phase("b", x) as outs:
         y = x + 1.0
-    with timer.phase("a", y):
+        outs.append(y)
+    with timer.phase("a"):
         pass
     times = timer.times()
     assert set(times) == {"a", "b"}
@@ -19,6 +23,27 @@ def test_phase_timer_accumulates():
     assert timer.total() == times["a"] + times["b"]
     report = timer.report()
     assert "a:" in report and "total:" in report
+
+
+def test_phase_timer_failed_phase_records_nothing():
+    import pytest
+    timer = PhaseTimer()
+    with pytest.raises(RuntimeError, match="boom"):
+        with timer.phase("bad"):
+            raise RuntimeError("boom")
+    assert "bad" not in timer.times()
+
+
+def test_force_materialize_skips_tracers():
+    import jax
+    from voxelized_geometry_tools_tpu.utils import force_materialize
+
+    @jax.jit
+    def f(v):
+        force_materialize(v)  # must be a no-op under tracing, not a crash
+        return v * 2.0
+
+    assert float(f(jnp.ones(3))[0]) == 2.0
 
 
 def test_trace_noop():
