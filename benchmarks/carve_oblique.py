@@ -87,7 +87,14 @@ def main():
                     run_axis=a).seen_free)
             t = timed(lambda: col_fn(cloud.points))
             row[f"columns_axis{ax}_ms"] = t * 1e3
+        split_fn = jax.jit(
+            lambda p: voxelize.raycast_pointcloud_columns(
+                spec, eye, dataclasses.replace(cloud, points=p),
+                run_axis="split").seen_free)
+        t = timed(lambda: split_fn(cloud.points))
+        row["columns_split_ms"] = t * 1e3
         row["dominant_axis"] = voxelize.dominant_ray_axis(cloud, np.eye(4))
+        row["pick_run_axis"] = voxelize.pick_run_axis(cloud, np.eye(4))
         results[name] = row
         best = min(row[f"columns_axis{a}_ms"] for a in (0, 1, 2))
         print(f"{name}: walk {row['walk_ms']:.1f} ms "
@@ -96,7 +103,10 @@ def main():
               + ", ".join(f"a{a}={row[f'columns_axis{a}_ms']:.1f}"
                           for a in (0, 1, 2))
               + f" ms (best {n_rays / best * 1e3 / 1e6:.2f} M rays/s); "
-              f"dominant_ray_axis -> {row['dominant_axis']}")
+              f"split {row['columns_split_ms']:.1f} ms "
+              f"({n_rays / row['columns_split_ms'] * 1e3 / 1e6:.2f} "
+              f"M rays/s); dominant_ray_axis -> {row['dominant_axis']}, "
+              f"pick_run_axis -> {row['pick_run_axis']}")
     print(json.dumps(results))
 
 

@@ -189,6 +189,7 @@ def test_extract_sdf_from_occupancy_unknown_handling():
     assert float(sdf_u_filled.maximum) == 2.0
 
 
+@pytest.mark.slow
 def test_streamed_edt_bit_exact():
     """The slab-streamed pipeline (the 1024^3 single-chip path) must be
     bit-identical to the dense one: same per-line envelope math, only the

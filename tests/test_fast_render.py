@@ -53,7 +53,10 @@ def test_corner_pair_table_bitwise_matches_brick(sphere_sdf, corner_table):
     same order as the 1-gather brick table, so query values must be
     BITWISE identical everywhere (interior, edge extrapolation, OOB)."""
     pair = sdf_query.build_corner_pair_table(sphere_sdf)
-    assert pair.rows.shape[-1] == 2
+    # Lane-packed: 4 z-pairs per 8-lane row (a [N, 2] minor dim lane-pads
+    # 64x on TPU — CornerPairTable docstring).
+    n_cells = int(np.prod(sphere_sdf.spec.counts))
+    assert pair.rows.shape == (-(-n_cells // 4), 8)
     rng = np.random.default_rng(7)
     hi = np.asarray(sphere_sdf.spec.grid_sizes)
     pts = rng.uniform(-0.3, 1.0, size=(5000, 3)) * (hi + 0.6) - 0.3
@@ -91,6 +94,7 @@ def test_corner_pair_table_gradients_match(sphere_sdf):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_corner_pair_table_render_matches(sphere_sdf, corner_table):
     """Renders through the pair table match the brick-table renders within
     the convergence threshold. (NOT bitwise: the written arithmetic is
@@ -230,6 +234,14 @@ def _check_cone_equiv(base, cone, sdf):
     * on common hits both converge to the same root; the Newton-refined
       depth ``t + d(t)`` with ``d <= thresh`` agrees within a small
       multiple of the convergence threshold.
+
+    Caveat (round-4 finding, ops/render.sphere_trace docstring): the
+    superset guarantee is provable only for rays whose query CROSSES the
+    threshold. Tangent grazers — min query within float-noise of thresh,
+    no crossing — can classify either way under any resampling (8/307k
+    pixels on the 512^3 sphere at focal 600, certificates uninvolved).
+    The test scenes here have no sub-voxel grazers, so the strict
+    assertion stands as the regression guard.
     """
     base_hit = np.asarray(base.hit)
     cone_hit = np.asarray(cone.hit)
@@ -411,6 +423,7 @@ def test_cone_prepass_scan_path(sphere_sdf, corner_table):
                             corner_table=corner_table, coarse_factor=7)
 
 
+@pytest.mark.slow
 def test_render_depth_batch_matches_per_view(sphere_sdf, corner_table):
     """One-march multi-camera rendering: per-ray sample sequences equal the
     per-view block-tail render, so depths are bitwise identical view by
@@ -436,6 +449,7 @@ def test_render_depth_batch_matches_per_view(sphere_sdf, corner_table):
                                       np.asarray(single.hit))
 
 
+@pytest.mark.slow
 def test_block_tail_miss_certificate(sphere_sdf, corner_table):
     """The head_steps=0 block-tail schedule retires rays whose block cone
     ESCAPED the grid still-safe (a proof that no surface lies anywhere on
@@ -483,6 +497,7 @@ def test_block_tail_cone_steps_budget(sphere_sdf, corner_table):
                                       np.asarray(r.hit))
 
 
+@pytest.mark.slow
 def test_mip_skip_grazing_band():
     """A far tiny obstacle with grazing silhouette rays: the mip skip must
     never LOSE a hit relative to the plain march (jumps shrink by the

@@ -10,6 +10,7 @@ Ports the reference oracles:
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -149,6 +150,7 @@ def test_counts_seen_as_rule():
                           int(voxelize.SeenAs.FREE)]  # 3/6 = 0.5 >= 0.5
 
 
+@pytest.mark.slow
 def test_raycast_count_invariants():
     """voxel_raycasting_test.cpp: every voxel sees each ray at most once as
     free, at most once as filled, and never both."""
@@ -277,6 +279,34 @@ def test_columns_bit_exact_camera_inside():
         cols = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
                                                    accumulate=accumulate)
         _compare_grids(walk, cols)
+
+
+def test_columns_split_bit_exact_vs_walk():
+    """run_axis='split' (each ray carved along its own dominant axis — the
+    direction-independent oblique-camera path) must equal the voxel walk
+    exactly, eagerly and under jit, including range clipping and a rotated
+    camera so all three axis groups are populated."""
+    rng = np.random.default_rng(7)
+    spec = GridSpec.from_voxel_counts(0.05, (20, 24, 28))
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = _rotz(0.7).astype(np.float32)
+    pose[:3, 3] = (-0.3, -0.3, -0.3)
+    # Omnidirectional targets: every dominant axis occurs.
+    pts = rng.uniform(-1.5, 3.0, (1800, 3)).astype(np.float32)
+    cloud = voxelize.PointCloud.create(pts, pose, max_range=2.0)
+    walk = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud)
+    split = voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
+                                                run_axis="split")
+    _compare_grids(walk, split)
+    jitted = jax.jit(lambda p: voxelize.raycast_pointcloud_columns(
+        spec, jnp.eye(4),
+        voxelize.PointCloud(points=p, origin_transform=cloud.origin_transform,
+                            max_range=cloud.max_range),
+        run_axis="split"))
+    _compare_grids(walk, jitted(cloud.points))
+    with pytest.raises(ValueError, match="Unknown run_axis"):
+        voxelize.raycast_pointcloud_columns(spec, jnp.eye(4), cloud,
+                                            run_axis="bogus")
 
 
 def test_columns_two_camera_oracle():

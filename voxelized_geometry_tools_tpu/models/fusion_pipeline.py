@@ -217,7 +217,7 @@ def fit_voxels(sdf: SignedDistanceField, cameras: Sequence[render.PinholeCamera]
         kw = dict(render_kwargs)
         if table_proto is not None:
             build = (sdf_query.build_corner_pair_table
-                     if table_proto.rows.shape[-1] == 2
+                     if isinstance(table_proto, sdf_query.CornerPairTable)
                      else sdf_query.build_corner_table)
             kw["corner_table"] = build(cur)
         loss = 0.0

@@ -140,15 +140,18 @@ class AcceleratorPointCloudVoxelizer:
 
     def _pick_run_axes(self, pointclouds, grid_origin_transform):
         """Static per-cloud carve choice: column carve with the dominant
-        grid axis for real-size clouds, voxel walk (None) for tiny ones
-        (decided eagerly — cloud data is concrete at this API boundary)."""
-        from .voxelize import dominant_ray_axis
+        grid axis for real-size clouds — or the per-ray-dominant "split"
+        carve when the bundle's rays straddle axis boundaries (oblique
+        cameras; ops/voxelize.pick_run_axis) — and the voxel walk (None)
+        for tiny clouds (decided eagerly — cloud data is concrete at this
+        API boundary)."""
+        from .voxelize import pick_run_axis
         axes = []
         for cloud in pointclouds:
             if not self._use_columns or cloud.points.shape[0] < 4096:
                 axes.append(None)
             else:
-                axes.append(dominant_ray_axis(cloud, grid_origin_transform))
+                axes.append(pick_run_axis(cloud, grid_origin_transform))
         return tuple(axes)
 
     def voxelize_pointclouds(self, static_environment: OccupancyMap,

@@ -193,9 +193,20 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     ``tail_chunks`` preserve exact sampling semantics; ``t_init`` — a
     certified deeper start — changes the sample SEQUENCE, so depths agree
     with the plain march within the convergence threshold and hits are a
-    superset, never fewer: the sphere-trace map ``t -> t + d(t)`` is
-    monotone for a 1-Lipschitz field, so a certified-safe skip can't cross
-    a surface the plain march would find):
+    superset for every ray whose query actually CROSSES the threshold:
+    the sphere-trace map ``t -> t + d(t)`` is monotone for a 1-Lipschitz
+    field, so a certified-safe skip can't cross a surface the plain march
+    would find. The one exception class is tangent GRAZERS — rays whose
+    query merely dips to within float-noise of ``surface_threshold``
+    without crossing it (no root, a measure-~zero ``q <= thresh`` sliver
+    narrower than the local step size). Whether any sample lands inside
+    such a sliver is decided by the sample sequence, so those pixels can
+    classify either way under ANY resampling — measured on the 512^3
+    sphere at focal 600: 8 of 307k pixels, all with min query within
+    1.6% of thresh, certificates uninvolved (the block cones died
+    conservatively BEFORE the dip). This is the same marginal-silhouette
+    divergence class the reference accepts between its own CPU (double)
+    and CUDA/OpenCL (float) backends.):
 
     * ``corner_table``: a prebuilt :class:`sdf_query.CornerTable` — trilinear
       samples cost ONE gather instead of eight (TPU gathers are issue-bound;
@@ -624,8 +635,23 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     # (The round-2 margin 2*thresh + 0.5*res was never exercised — the
     # prepass died on step 0, see above — and is genuinely unsound: it
     # skipped marginal silhouette hits once the cone actually marched.)
+    #
+    # STRICTNESS BAND (round-4 fix): the cone step (q - r) / (1 + tan)
+    # consumes the margin EXACTLY at its endpoint — substituting
+    # s = t_new into the interval guarantee gives query(fine) >= thresh
+    # with EQUALITY attainable, while fine convergence is query <= thresh
+    # INCLUSIVE, so a tangent ray sitting exactly on the threshold is
+    # certified-missed in exact math, and f32 rounding in the query chain
+    # widens "exactly" into a small band (measured on the 512^3 sphere at
+    # focal 600: 8 silhouette-tangent pixels whose converged fine query
+    # was 0.0039*res BELOW thresh were escape-certified away). Adding
+    # band to the margin makes the endpoint guarantee strict by `band`:
+    # query(fine) >= thresh + band - float_err > thresh. 0.05*res is
+    # ~13x the observed rounding excursion and costs nothing (the total
+    # margin goes 2.98 -> 3.03 voxels).
     delta = (0.5 + float(np.sqrt(3.0)) / 2.0) * sdf.resolution
-    margin = jnp.float32(surface_threshold + 2.0 * delta)
+    band = 0.05 * sdf.resolution
+    margin = jnp.float32(surface_threshold + 2.0 * delta + band)
     eps = jnp.float32(1e-3 * sdf.resolution)
 
     budget = num_steps if max_cone_steps is None \

@@ -241,9 +241,20 @@ def build_corner_table(sdf: SignedDistanceField,
 
 
 class CornerPairTable(NamedTuple):
-    """Z-pair acceleration rows: ``f32[num_cells, 2]`` where row
-    ``flat(b)`` holds the corrected distances at cells ``b`` and
-    ``b + (0,0,1)`` (z clamped to the grid edge).
+    """Z-pair acceleration rows, LANE-PACKED: ``f32[ceil(num_cells/4), 8]``
+    where flat cell ``i``'s pair — the corrected distances at cells ``b``
+    and ``b + (0,0,1)`` (z clamped to the grid edge) — occupies lanes
+    ``(i % 4) * 2`` and ``+1`` of row ``i // 4``.
+
+    Why packed: a ``[N, 2]`` table forces XLA-TPU's layout assignment into
+    a ``T(8,128)`` lane-padded copy (2 -> 128 lanes = 64x memory — a
+    232 GB "allocation would exceed memory" at 768^3, measured round 4),
+    while minor-dim-8 arrays lay out compactly (the ``[N, 8]``
+    :class:`CornerTable` runs every bench). Gather cost is per ROW, not
+    per byte (~9.3 ns either way), so fetching the 32-byte packed row
+    costs the same as the old 8-byte pair row; the 2-of-8 lane extraction
+    is two masked 8-lane sums — pure VPU work that fuses into the gather
+    consumer.
 
     The large-grid middle ground: 2x the grid's memory (a 1024^3
     CornerTable is ~8x = 34 GB and exceeds single-chip HBM; the pair table
@@ -262,28 +273,33 @@ def build_corner_pair_table(sdf: SignedDistanceField,
     """Build the z-pair table with pure shifts (no gathers), as a
     ``fori_loop`` over X planes (a monolithic stack/reshape of the whole
     grid hits the pathological XLA-TPU layout pass at large sizes — see
-    :func:`build_corner_table`)."""
+    :func:`build_corner_table`). The loop carry is kept FLAT ``[2N]`` (a
+    2-D ``[N, 2]`` carry is what triggered the lane-padded layout copy)
+    and reshaped once into the packed ``[ceil(N/4), 8]`` form."""
     d = jnp.asarray(sdf.distances)
     dtype = d.dtype if dtype is None else jnp.dtype(dtype)
     nx, ny, nz = d.shape
     half = d.dtype.type(sdf.resolution * 0.5)
 
-    rows0 = jnp.zeros((nx * ny * nz, 2), dtype)
+    n_cells = nx * ny * nz
+    padded = -(-n_cells // 4) * 4
+    rows0 = jnp.zeros((padded * 2,), dtype)
 
     def body(x, rows):
         # Correct + z-edge-pad per plane (see build_corner_table: a full-
-        # grid corrected+padded loop operand would push the build transient
-        # past HBM at exactly the 1024^3 scale this table exists for).
+        # grid corrected+padded copy as a loop operand would push the build
+        # transient past HBM at exactly the 1024^3 scale this table
+        # exists for).
         pl = _pull_to_surface(
             lax.dynamic_slice(d, (x, 0, 0), (1, ny, nz))[0], half)
         pl = jnp.concatenate([pl, pl[:, -1:]], axis=1)  # [ny, nz + 1]
-        plane_rows = jnp.stack([pl[:, :nz], pl[:, 1:]],
-                               axis=-1).reshape(ny * nz, 2)
-        return lax.dynamic_update_slice(rows, plane_rows.astype(dtype),
-                                        (x * ny * nz, 0))
+        plane_flat = jnp.stack([pl[:, :nz], pl[:, 1:]],
+                               axis=-1).reshape(ny * nz * 2)
+        return lax.dynamic_update_slice(rows, plane_flat.astype(dtype),
+                                        (x * ny * nz * 2,))
 
     rows = lax.fori_loop(0, nx, body, rows0)
-    return CornerPairTable(rows=rows)
+    return CornerPairTable(rows=rows.reshape(padded // 4, 8))
 
 
 def estimate_location_distance_fast(
@@ -319,14 +335,24 @@ def estimate_location_distance_fast(
 
     ny, nz = spec.counts[1], spec.counts[2]
     if isinstance(table, CornerPairTable):
-        # Four z-pair rows at (bx|bx+1, by|by+1, bz), x/y neighbors
-        # clamped onto the edge cell exactly as the brick build does.
+        # Four z-pair fetches at (bx|bx+1, by|by+1, bz), x/y neighbors
+        # clamped onto the edge cell exactly as the brick build does. Each
+        # fetch gathers the 8-lane PACKED row holding 4 pairs and extracts
+        # the 2 target lanes with masked sums (see CornerPairTable: the
+        # packing exists because a [N, 2] minor dim lane-pads 64x on TPU;
+        # the extraction is cheap VPU work fused into the gather).
         bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
         bx1 = jnp.minimum(bx + 1, counts[0] - 1)
         by1 = jnp.minimum(by + 1, counts[1] - 1)
+        lanes = jnp.arange(8, dtype=jnp.int32)
 
         def pair(x, y):
-            return table.rows[x * (ny * nz) + y * nz + bz]
+            flat = x * (ny * nz) + y * nz + bz
+            row = table.rows[flat >> 2]                      # [..., 8]
+            lane0 = ((flat & 3) * 2)[..., None]
+            z0 = jnp.sum(jnp.where(lanes == lane0, row, 0), axis=-1)
+            z1 = jnp.sum(jnp.where(lanes == lane0 + 1, row, 0), axis=-1)
+            return jnp.stack([z0, z1], axis=-1)
 
         # corners ordered c = 4*dx + 2*dy + dz — identical to CornerTable.
         corners = jnp.concatenate(

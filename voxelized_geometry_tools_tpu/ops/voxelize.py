@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import time
-from typing import Callable, NamedTuple, Optional, Sequence
+from typing import Callable, NamedTuple, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +89,18 @@ class TrackingGrid(NamedTuple):
 
 
 class VoxelizerRuntime(NamedTuple):
-    """Phase wall timings (pointcloud_voxelization_interface.hpp:206-229)."""
+    """Phase wall timings (pointcloud_voxelization_interface.hpp:206-229).
+
+    Populated honestly (a device sync between the carve and filter phases)
+    whenever a ``runtime_log_fn`` is supplied to an EAGER entry point —
+    :func:`voxelize_pointclouds` called with concrete arrays, or any
+    backend's ``voxelize_pointclouds`` (ops/backends.py), which is the
+    reference-parity calling convention. Under an enclosing ``jax.jit``
+    there are no phase boundaries to time (the whole pipeline fuses into
+    one XLA computation) and both fields are reported as 0.0 — time the
+    fused call instead. This is the one deliberate fidelity gap vs the
+    reference's always-populated struct: inserting syncs inside a trace
+    would split the fusion the jit user asked for."""
     raycasting_time: float
     filtering_time: float
 
@@ -328,6 +339,21 @@ def _scatter_counts(counts_flat: Array, flat_targets: Array) -> Array:
     return counts_flat.at[safe].add(valid.astype(jnp.int32), mode="drop")
 
 
+def _balanced_chunk(n_rays: int, ray_chunk: int) -> int:
+    """Chunk width that balances ``n_rays`` across the minimum number of
+    ``<= ray_chunk`` chunks instead of padding the last one: 38400 rays
+    at ray_chunk=16384 get 3 x 12800 instead of 2 x 16384 + 10752 dead
+    lanes (+28% scatter rows — dropped lanes cost nearly full scatter
+    rate, BASELINE.md). Lane-aligned to 256. Results are bit-exact under
+    any chunking (integer scatter-adds commute; sorting only regroups)."""
+    n_rays = max(n_rays, 1)
+    if n_rays <= ray_chunk:
+        return n_rays
+    n_chunks = -(-n_rays // ray_chunk)
+    per = -(-n_rays // n_chunks)
+    return min(-(-per // 256) * 256, ray_chunk)
+
+
 def raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
                        cloud: PointCloud,
                        max_steps: Optional[int] = None,
@@ -352,7 +378,7 @@ def raycast_pointcloud(spec: GridSpec, grid_origin_transform: Array,
         zero = jnp.zeros(spec.counts, jnp.int32)
         return TrackingGrid(zero, zero)
 
-    chunk = min(ray_chunk, max(n_rays, 1))
+    chunk = _balanced_chunk(n_rays, ray_chunk)
     pad = (-n_rays) % chunk
     # Padding rays are non-finite -> hit=False -> no marks.
     points = jnp.pad(cloud.points, ((0, pad), (0, 0)),
@@ -820,14 +846,16 @@ def raycast_pointcloud_columns(spec: GridSpec, grid_origin_transform: Array,
                                cloud: PointCloud,
                                max_steps: Optional[int] = None,
                                ray_chunk: int = 16384,
-                               run_axis: int = 2,
+                               run_axis: Union[int, str] = 2,
                                accumulate: str = "rows") -> TrackingGrid:
     """Column-marching twin of :func:`raycast_pointcloud` (same tracking-grid
     output; see :func:`_column_carve_chunk` for the scatter-volume argument
     and the float-tie caveat). ``run_axis`` selects which grid axis becomes
     the contiguous run direction — pick the camera bundle's dominant axis;
     rays orthogonal to it degrade to one element per voxel (the walk path's
-    column count equals its voxel count there). ``accumulate``: ``"rows"``
+    column count equals its voxel count there). ``run_axis="split"``
+    carves each ray along its OWN dominant axis (direction-independent
+    cost for oblique cameras; see :func:`_raycast_columns_split`). ``accumulate``: ``"rows"``
     (default; one masked ``[nz]`` row per column,
     :func:`_column_carve_chunk`) or ``"diff"`` (one scalar element per
     column + bucket-shift combine, :func:`_column_carve_chunk_diff`) —
@@ -846,6 +874,11 @@ def raycast_pointcloud_columns(spec: GridSpec, grid_origin_transform: Array,
         raise ValueError(
             "max_steps is only supported with accumulate='rows' (the diff "
             "variant's endpoint algebra cannot truncate runs mid-column)")
+    if isinstance(run_axis, str):
+        if run_axis != "split":
+            raise ValueError(f"Unknown run_axis {run_axis!r}")
+        return _raycast_columns_split(spec, grid_origin_transform, cloud,
+                                      max_steps, ray_chunk, accumulate)
     perm = _AXIS_PERMS[int(run_axis)]
     # Reference priority x >= y >= z mapped into the permuted frame:
     # which axis wins each pairwise tie is decided by ORIGINAL axis id.
@@ -880,6 +913,51 @@ def raycast_pointcloud_columns(spec: GridSpec, grid_origin_transform: Array,
                                  accumulate=accumulate)
 
 
+def _raycast_columns_split(spec: GridSpec, grid_origin_transform: Array,
+                           cloud: PointCloud, max_steps: Optional[int],
+                           ray_chunk: int,
+                           accumulate: str) -> TrackingGrid:
+    """Direction-independent column carve: each ray runs along ITS OWN
+    dominant grid axis (``run_axis="split"``).
+
+    A single global ``run_axis`` degrades ~3.2x when the camera sits at
+    45 degrees to every axis (runs shorten toward one voxel — BASELINE.md
+    round-3 oblique table), while the reference's per-voxel DDA walk costs
+    the same in any direction (cpu_pointcloud_voxelization.cpp:292-435).
+    This path recovers direction independence for the FAST carve: rays are
+    partitioned by ``argmax |dir|`` in the grid frame and each of the (up
+    to) three groups is carved with its matching ``run_axis``, summed —
+    scatter-adds are integer and order-independent, so the total is
+    bit-exact vs the voxel walk just like each single-axis call.
+
+    Fully jittable (the partition is a mask, not a gather): each
+    single-axis call sees the other groups' rays as non-finite points,
+    whose ``m_est`` sorts them into leading all-dead chunks that exit the
+    column while_loop after one alive-check — the three calls together do
+    ~one call's carving work plus two extra chunk scans of dead lanes."""
+    X_GW = transforms.invert_isometry(grid_origin_transform)
+    X_GC = X_GW @ cloud.origin_transform
+    p_grid = transforms.apply_isometry(X_GC, cloud.points)
+    d = p_grid - X_GC[:3, 3]
+    finite = jnp.all(jnp.isfinite(cloud.points), axis=-1)
+    axis_id = jnp.argmax(jnp.abs(jnp.where(finite[:, None], d, 0.0)),
+                         axis=-1)
+    total = None
+    for a in range(3):
+        sel = finite & (axis_id == a)
+        pts = jnp.where(sel[:, None], cloud.points, jnp.inf)
+        grid = raycast_pointcloud_columns(
+            spec, grid_origin_transform,
+            PointCloud(points=pts, origin_transform=cloud.origin_transform,
+                       max_range=cloud.max_range),
+            max_steps=max_steps, ray_chunk=ray_chunk, run_axis=a,
+            accumulate=accumulate)
+        total = grid if total is None else TrackingGrid(
+            seen_free=total.seen_free + grid.seen_free,
+            seen_filled=total.seen_filled + grid.seen_filled)
+    return total
+
+
 def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
                           cloud: PointCloud, max_steps: Optional[int],
                           ray_chunk: int, tie_flags: dict,
@@ -904,7 +982,7 @@ def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
     if max_steps is not None:
         voxel_budget = -(-int(max_steps) // _DDA_SEGMENT) * _DDA_SEGMENT
 
-    chunk = min(ray_chunk, max(n_rays, 1))
+    chunk = _balanced_chunk(n_rays, ray_chunk)
     pad = (-n_rays) % chunk
 
     # Sort rays by projected xy-path length so each chunk's column budget
@@ -1002,6 +1080,35 @@ def dominant_ray_axis(cloud: PointCloud,
     return int(np.argmax(np.abs(mean_dir)))
 
 
+def pick_run_axis(cloud: PointCloud, grid_origin_transform=None,
+                  split_threshold: float = 0.75) -> Union[int, str]:
+    """Eager ``run_axis`` policy for :func:`raycast_pointcloud_columns`:
+    the dominant GRID axis when at least ``split_threshold`` of (sampled)
+    rays share it, else ``"split"`` (per-ray dominant axes — oblique
+    camera bundles whose rays straddle axis boundaries carve each ray in
+    its own best frame). Like :func:`dominant_ray_axis` this is a speed
+    policy only — every choice is bit-exact with the voxel walk."""
+    pts_dev = cloud.points
+    n_pts = pts_dev.shape[0]
+    if n_pts > 2048:
+        pts_dev = pts_dev[:: n_pts // 2048 + 1]
+    pts = np.asarray(pts_dev)
+    finite = np.all(np.isfinite(pts), axis=-1)
+    if not finite.any():
+        return 2
+    X_GC = np.asarray(cloud.origin_transform, np.float64)
+    if grid_origin_transform is not None:
+        X_GC = np.linalg.inv(np.asarray(grid_origin_transform,
+                                        np.float64)) @ X_GC
+    dirs = pts[finite] @ X_GC[:3, :3].T
+    per_ray = np.argmax(np.abs(dirs), axis=-1)
+    counts = np.bincount(per_ray, minlength=3)
+    top = int(counts.argmax())
+    if counts[top] >= split_threshold * counts.sum():
+        return top
+    return "split"
+
+
 def raycast_single_point(spec: GridSpec, grid_origin_transform: Array,
                          p_world_origin, p_world_point,
                          max_range: float = float("inf"),
@@ -1064,7 +1171,9 @@ def voxelize_pointclouds(
         max_steps: Optional[int] = None) -> OccupancyMap:
     """End-to-end ``VoxelizePointClouds`` (pointcloud_voxelization_interface.
     hpp:246-292): carve each cloud into its own tracking grid, then fuse.
-    Wall times for the two phases are reported like ``VoxelizerRuntime``."""
+    Wall times for the two phases are reported like ``VoxelizerRuntime``
+    when called eagerly; under jit the runtime reports zeros (see
+    :class:`VoxelizerRuntime` for the contract and why)."""
     filter_options.validate()
     spec = static_environment.spec
 
