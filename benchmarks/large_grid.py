@@ -27,7 +27,11 @@ from voxelized_geometry_tools_tpu.ops import edt, render
 
 
 def _force(x):
-    return float(jnp.asarray(x).reshape(-1)[0])
+    # Index, don't reshape: an eager reshape(-1) of a multi-GB [M, 8]
+    # table dispatches a relayout copy whose target layout lane-pads 8 ->
+    # 128 (a 58 GB OOM at 768^3, measured round 4); a scalar index reads
+    # 4 bytes and still cannot complete before the producer does.
+    return float(x[(0,) * x.ndim])
 
 
 def sphere_mask(n):
@@ -88,10 +92,13 @@ def run(n, streaming=True, slab=128, do_render=True):
         # memory) and the z-pair table (2x grid memory, 4 gathers/sample —
         # an 8x corner BRICK table is 34 GiB at 1024^3 and cannot fit, but
         # grid + pair table is ~13 GiB and does).
+        # Round-4 schedule (BASELINE.md blocktail sweeps): head=0
+        # block-tail with certificate retirement + chunked cone tail.
         def render_raw(s):
             return render.render_depth(
-                s, cam, num_steps=96, early_exit=True, coarse_factor=4,
-                head_steps=1, tail_chunks=64).depth
+                s, cam, num_steps=96, early_exit=True, coarse_factor=8,
+                head_steps=0, tail_chunks=32, cone_steps=32,
+                cone_tail_chunks=8).depth
 
         fn = jax.jit(render_raw)
         t0 = time.monotonic()
@@ -114,7 +121,8 @@ def run(n, streaming=True, slab=128, do_render=True):
         def render_pair(s, t):
             return render.render_depth(
                 s, cam, num_steps=96, corner_table=t, early_exit=True,
-                coarse_factor=4, head_steps=1, tail_chunks=64).depth
+                coarse_factor=8, head_steps=0, tail_chunks=32,
+                cone_steps=32, cone_tail_chunks=8).depth
 
         pfn = jax.jit(render_pair)
         depth = pfn(sdf, pair)

@@ -273,32 +273,52 @@ def build_corner_pair_table(sdf: SignedDistanceField,
     """Build the z-pair table with pure shifts (no gathers), as a
     ``fori_loop`` over X planes (a monolithic stack/reshape of the whole
     grid hits the pathological XLA-TPU layout pass at large sizes — see
-    :func:`build_corner_table`). The loop carry is kept FLAT ``[2N]`` (a
-    2-D ``[N, 2]`` carry is what triggered the lane-padded layout copy)
-    and reshaped once into the packed ``[ceil(N/4), 8]`` form."""
+    :func:`build_corner_table`). The loop carry is the packed 2-D
+    ``[N/4, 8]`` zeros array itself, exactly like build_corner_table's
+    ``[N, 8]`` carry: both a ``[N, 2]`` carry AND a final flat->2-D
+    reshape make XLA-TPU layout assignment materialize a lane-padded
+    ``T(8,128)`` copy (232 GB / 58 GB respectively at 768^3, measured),
+    while the zeros-carry fori_loop form lays out compactly."""
     d = jnp.asarray(sdf.distances)
     dtype = d.dtype if dtype is None else jnp.dtype(dtype)
     nx, ny, nz = d.shape
     half = d.dtype.type(sdf.resolution * 0.5)
-
     n_cells = nx * ny * nz
-    padded = -(-n_cells // 4) * 4
-    rows0 = jnp.zeros((padded * 2,), dtype)
 
-    def body(x, rows):
+    def plane(x):
         # Correct + z-edge-pad per plane (see build_corner_table: a full-
         # grid corrected+padded copy as a loop operand would push the build
         # transient past HBM at exactly the 1024^3 scale this table
         # exists for).
         pl = _pull_to_surface(
             lax.dynamic_slice(d, (x, 0, 0), (1, ny, nz))[0], half)
-        pl = jnp.concatenate([pl, pl[:, -1:]], axis=1)  # [ny, nz + 1]
+        return jnp.concatenate([pl, pl[:, -1:]], axis=1)  # [ny, nz + 1]
+
+    if (ny * nz) % 4 == 0:
+        rows0 = jnp.zeros((n_cells // 4, 8), dtype)
+
+        def body(x, rows):
+            pl = plane(x)
+            plane_rows = jnp.stack([pl[:, :nz], pl[:, 1:]],
+                                   axis=-1).reshape(ny * nz // 4, 8)
+            return lax.dynamic_update_slice(
+                rows, plane_rows.astype(dtype), (x * (ny * nz // 4), 0))
+
+        return CornerPairTable(rows=lax.fori_loop(0, nx, body, rows0))
+
+    # General shapes (plane size not a multiple of 4 — small/odd grids
+    # where the layout hazard cannot bite): flat carry + one reshape.
+    padded = -(-n_cells // 4) * 4
+    rows0 = jnp.zeros((padded * 2,), dtype)
+
+    def body_flat(x, rows):
+        pl = plane(x)
         plane_flat = jnp.stack([pl[:, :nz], pl[:, 1:]],
                                axis=-1).reshape(ny * nz * 2)
         return lax.dynamic_update_slice(rows, plane_flat.astype(dtype),
                                         (x * ny * nz * 2,))
 
-    rows = lax.fori_loop(0, nx, body, rows0)
+    rows = lax.fori_loop(0, nx, body_flat, rows0)
     return CornerPairTable(rows=rows.reshape(padded // 4, 8))
 
 
