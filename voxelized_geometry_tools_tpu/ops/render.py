@@ -500,7 +500,8 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
                   surface_threshold: float, max_depth: float,
                   corner_table: Optional[_AnyCornerTable],
                   max_cone_steps: Optional[int] = None,
-                  cone_tail_chunks: int = 1
+                  cone_tail_chunks: int = 1,
+                  cone_refine: Optional[int] = None
                   ) -> Tuple[Array, Array, Array, Array]:
     """Cone-traced coarse pass: one ray per ``factor x factor`` pixel block,
     advanced only while the SDF sample exceeds the cone radius — so the
@@ -545,15 +546,26 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     in that many chunks — silhouette-grazing cones (eps-floor crawlers)
     share a chunk instead of dragging every step to full width. Results
     are bitwise identical for any chunk count.
+
+    ``cone_refine`` (a block size dividing ``factor``) runs a SECOND,
+    hierarchical cone stage: every parent block spawns its
+    ``(factor/cone_refine)^2`` sub-cones, which CONTINUE from the
+    parent's certified depth with a narrower angular radius. A cone that
+    died pinched between its own radius and a silhouette gets a second
+    chance to certify deeper or escape outright — at a fraction of the
+    cost of running the finer grid from scratch, because sub-cones start
+    deep and converge or escape in a few steps. Certificates compose
+    (children start AT the parent depth, so intervals are contiguous);
+    the returned images are at ``cone_refine`` block granularity.
     """
     f = int(factor)
     wc, hc = camera.width // f, camera.height // f
 
-    def block_dirs(du, dv):
+    def block_dirs(du, dv, bf):
         # World direction of the fine pixel at offset (du, dv) within each
-        # block (same math as camera_rays, evaluated on the coarse lattice).
-        u = (jnp.arange(wc, dtype=jnp.float32) * f) + du
-        v = (jnp.arange(hc, dtype=jnp.float32) * f) + dv
+        # bf x bf block (same math as camera_rays, on the coarse lattice).
+        u = (jnp.arange(camera.width // bf, dtype=jnp.float32) * bf) + du
+        v = (jnp.arange(camera.height // bf, dtype=jnp.float32) * bf) + dv
         uu, vv = jnp.meshgrid(u, v, indexing="xy")
         d = jnp.stack([(uu - camera.cx) / camera.fx,
                        (vv - camera.cy) / camera.fy,
@@ -561,20 +573,26 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         return transforms.rotate_vector(camera.pose, d)
 
-    half = (f - 1) / 2.0
-    center = block_dirs(half, half)
-    origins = jnp.broadcast_to(camera.pose[:3, 3], center.shape)
+    def block_geometry(bf):
+        """(center dirs, tan of the exact per-block angular radius) for
+        ``bf x bf`` pixel blocks. The extreme DIRECTIONS of a block are
+        attained at its 4 corner pixels for a pinhole (gnomonic geodesics
+        are straight lines; spherical distance to the center is
+        quasi-convex along them, so the max over the rectangle sits at a
+        vertex)."""
+        center = block_dirs((bf - 1) / 2.0, (bf - 1) / 2.0, bf)
+        sin_t = jnp.zeros(center.shape[:-1], jnp.float32)
+        for du in (-0.5, bf - 0.5):
+            for dv in (-0.5, bf - 0.5):
+                c = block_dirs(du, dv, bf)
+                cross = jnp.cross(c, center)
+                sin_t = jnp.maximum(sin_t,
+                                    jnp.linalg.norm(cross, axis=-1))
+        tan_t = sin_t / jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 1e-6))
+        return center, tan_t
 
-    # Exact per-block angular radius from the 4 corner pixels (pixel
-    # centers at the extreme offsets; the extreme DIRECTIONS of the block
-    # are attained at corners for a pinhole).
-    sin_t = jnp.zeros(center.shape[:-1], jnp.float32)
-    for du in (-0.5, f - 0.5):
-        for dv in (-0.5, f - 0.5):
-            c = block_dirs(du, dv)
-            cross = jnp.cross(c, center)
-            sin_t = jnp.maximum(sin_t, jnp.linalg.norm(cross, axis=-1))
-    tan_t = sin_t / jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 1e-6))
+    center, tan_t = block_geometry(f)
+    origins = jnp.broadcast_to(camera.pose[:3, 3], center.shape)
 
     if corner_table is not None:
         def raw_sample(pos):
@@ -684,50 +702,51 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
 
         return lax.while_loop(cond, body, state0)
 
-    alive0 = hits_c & (t_start < t_exit_c)
     big = jnp.float32(1e30)
-    d0 = t_start * 0.0 + big
     k_cone = int(cone_tail_chunks)
-    head = budget if k_cone <= 1 else min(8, budget)
-    _, t_cone, alive_end, used, escaped, d_prev, d_cur = cone_march(
-        (jnp.int32(0), t_start, alive0, jnp.zeros_like(t_start),
-         jnp.zeros_like(alive0), d0, d0),
-        origins, center, tan_t, t_exit_c, head)
 
-    if k_cone > 1 and budget > head:
-        # Chunked cone tail — the fine tail's trick applied to the cone
-        # march itself: silhouette-grazing cones crawl at the eps floor
-        # and otherwise drag the full-width while_loop to ``budget``.
-        # Compact cones ordered by estimated remaining steps and march
-        # ``k_cone`` chunks under lax.map; all-dead chunks cost one alive
-        # check. Bit-result-invariant (per-cone sequences unchanged).
-        n = hc * wc
+    def run_stage(o, c, tt, tx, t0, alive0, used0, escaped0):
+        """Head + (optionally) sorted chunked tail over FLAT [m] cones.
+
+        The chunked tail is the fine tail's trick applied to the cone
+        march itself: silhouette-grazing cones crawl at the eps floor and
+        otherwise drag the full-width while_loop to ``budget``; after 8
+        full-width steps, still-alive cones are compacted ordered by
+        estimated remaining steps and the rest of the budget runs in
+        ``k_cone`` chunks under lax.map — all-dead chunks cost one alive
+        check. Bit-result-invariant (per-cone sequences unchanged)."""
+        d0 = t0 * 0.0 + big
+        head = budget if k_cone <= 1 else min(8, budget)
+        _, t_c, alive_e, used, escaped, d_prev, d_cur = cone_march(
+            (jnp.int32(0), t0, alive0, used0, escaped0, d0, d0),
+            o, c, tt, tx, head)
+        if k_cone <= 1 or budget <= head:
+            return t_c, alive_e, used, escaped
+        n = t_c.shape[0]
         pad = (-n) % k_cone
         chunk = (n + pad) // k_cone
 
         def flat_pad(x, fill):
-            x = x.reshape((n,) + x.shape[2:])
             cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
             return jnp.pad(x, cfg, constant_values=fill)
 
-        alive_f = flat_pad(alive_end, False)
+        alive_f = flat_pad(alive_e, False)
         decay = flat_pad(d_prev - d_cur, 0.0)
         est = flat_pad(d_cur, 0.0) / jnp.maximum(decay, eps)
         key = jnp.where(alive_f, est, jnp.float32(3e30))
         order = jnp.argsort(key, stable=True)
-        arrs = [flat_pad(t_cone, 0.0), alive_f, flat_pad(used, 0.0),
+        arrs = [flat_pad(t_c, 0.0), alive_f, flat_pad(used, 0.0),
                 flat_pad(escaped, False), flat_pad(d_prev, big),
-                flat_pad(d_cur, big), flat_pad(origins, 0.0),
-                flat_pad(center, 0.0), flat_pad(tan_t, 0.0),
-                flat_pad(t_exit_c, 0.0)]
+                flat_pad(d_cur, big), flat_pad(o, 0.0),
+                flat_pad(c, 0.0), flat_pad(tt, 0.0), flat_pad(tx, 0.0)]
         (t_s, al_s, us_s, es_s, dp_s, dc_s,
          o_s, c_s, tt_s, tx_s) = [a[order] for a in arrs]
 
         def march_chunk(args):
-            t_c, al_c, us_c, es_c, dp_c, dc_c, o_c, c_c, tt_c, tx_c = args
+            t_k, al_k, us_k, es_k, dp_k, dc_k, o_k, c_k, tt_k, tx_k = args
             _, t_o, al_o, us_o, es_o, _, _ = cone_march(
-                (jnp.int32(0), t_c, al_c, us_c, es_c, dp_c, dc_c),
-                o_c, c_c, tt_c, tx_c, budget - head)
+                (jnp.int32(0), t_k, al_k, us_k, es_k, dp_k, dc_k),
+                o_k, c_k, tt_k, tx_k, budget - head)
             return t_o, al_o, us_o, es_o
 
         t_o, al_o, us_o, es_o = lax.map(march_chunk, (
@@ -738,30 +757,85 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
             tt_s.reshape(k_cone, chunk), tx_s.reshape(k_cone, chunk)))
 
         def unsort(x, dtype):
-            flat = jnp.zeros((n + pad,), dtype).at[order].set(
-                x.reshape(-1))
-            return flat[:n].reshape(hc, wc)
+            return jnp.zeros((n + pad,), dtype).at[order].set(
+                x.reshape(-1))[:n]
 
-        t_cone = unsort(t_o, t_cone.dtype)
-        alive_end = unsort(al_o, jnp.bool_)
-        used = unsort(us_o, used.dtype)
-        escaped = unsort(es_o, jnp.bool_)
-    t_cone = jnp.where(hits_c, t_cone, 0.0)
-    valid_from = jnp.where(hits_c, t_start, jnp.float32(jnp.inf))
+        return (unsort(t_o, t_c.dtype), unsort(al_o, jnp.bool_),
+                unsort(us_o, used.dtype), unsort(es_o, jnp.bool_))
+
+    flat = lambda x: x.reshape((hc * wc,) + x.shape[2:])  # noqa: E731
+    zeros_f = jnp.zeros(hc * wc, jnp.float32)
+    t_cone, alive_end, used, escaped = run_stage(
+        flat(origins), flat(center), flat(tan_t), flat(t_exit_c),
+        flat(t_start), flat(hits_c & (t_start < t_exit_c)), zeros_f,
+        jnp.zeros(hc * wc, bool))
+    hits_b = flat(hits_c)
+    valid_from = jnp.where(hits_b, flat(t_start), jnp.float32(jnp.inf))
+    out_f = f
+
+    if cone_refine and int(cone_refine) < f:
+        # HIERARCHICAL REFINEMENT: every parent block spawns
+        # (f / rf)^2 sub-cones at block size rf that CONTINUE from the
+        # parent's certified depth with a narrower angular radius — cones
+        # that died pinched between the surface and their own radius
+        # (tangency) get a second chance to certify deeper or escape.
+        # Sound by composition: the parent certifies
+        # [valid_from, t_parent] for every ray of the block; each child
+        # starts AT t_parent (never later — starting past it would leave
+        # an uncertified gap), so the union interval is contiguous and
+        # the per-ray ``t_enter >= valid_from`` gate in sphere_trace is
+        # unchanged. Children of escaped parents start dead (nothing left
+        # to certify); children of parent-missed blocks stay uncertified.
+        rf = int(cone_refine)
+        if f % rf:
+            raise ValueError(
+                f"cone_refine={rf} must divide coarse_factor={f}")
+        scale = f // rf
+        wc2, hc2 = camera.width // rf, camera.height // rf
+        center2, tan2 = block_geometry(rf)
+        origins2 = jnp.broadcast_to(camera.pose[:3, 3], center2.shape)
+        t_en2, t_ex2, hits2 = _clip_to_grid(sdf, origins2, center2)
+        t_ex2 = jnp.minimum(t_ex2, jnp.float32(max_depth))
+
+        def up(x):
+            img = x.reshape(hc, wc)
+            return jnp.repeat(jnp.repeat(img, scale, axis=0), scale,
+                              axis=1).reshape(hc2 * wc2)
+
+        def flat2(x):
+            return x.reshape((hc2 * wc2,) + x.shape[2:])
+
+        t_p = up(t_cone)
+        esc_p = up(escaped)
+        hits_p = up(hits_b)
+        t0_2 = jnp.maximum(t_p, 0.0)
+        alive2 = (flat2(hits2) & hits_p & ~esc_p
+                  & (t0_2 < flat2(t_ex2)))
+        t_cone, alive_end, used, escaped = run_stage(
+            flat2(origins2), flat2(center2), flat2(tan2), flat2(t_ex2),
+            t0_2, alive2, up(used), esc_p)
+        hits_b = hits_p
+        valid_from = up(valid_from)
+        out_f = rf
+
+    t_cone = jnp.where(hits_b, t_cone, 0.0)
     # Blocks whose center ray misses the grid entirely are also certified
     # misses IF no fine ray can hit the grid either — conservatively leave
     # them uncertified (sphere_trace's own slab test retires them for one
     # full-width check, the same cost as before).
-    escaped = escaped & hits_c
+    escaped = escaped & hits_b
     # Slowness: cones that never died (silhouette grazers crawling at the
     # eps floor, or budget-capped deep cones) sort after everything else.
     slowness = used + jnp.where(alive_end, jnp.float32(budget), 0.0)
     # Upsample block images to the full image.
-    t_img = jnp.repeat(jnp.repeat(t_cone, f, axis=0), f, axis=1)
-    valid_img = jnp.repeat(jnp.repeat(valid_from, f, axis=0), f, axis=1)
-    slow_img = jnp.repeat(jnp.repeat(slowness, f, axis=0), f, axis=1)
-    esc_img = jnp.repeat(jnp.repeat(escaped, f, axis=0), f, axis=1)
-    return t_img, valid_img, slow_img, esc_img
+    hb, wb = camera.height // out_f, camera.width // out_f
+
+    def up_img(x):
+        img = x.reshape(hb, wb)
+        return jnp.repeat(jnp.repeat(img, out_f, axis=0), out_f, axis=1)
+
+    return (up_img(t_cone), up_img(valid_from), up_img(slowness),
+            up_img(escaped))
 
 
 def block_relayout(height: int, width: int, factor: int,
@@ -808,6 +882,7 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                  coarse_factor: int = 0,
                  cone_steps: Optional[int] = None,
                  cone_tail_chunks: int = 1,
+                 cone_refine: Optional[int] = None,
                  **trace_kwargs) -> RenderResult:
     """Render an ``[H, W]`` depth image (differentiable in ``sdf.distances``
     and ``camera.pose``). See :func:`sphere_trace` for the performance
@@ -820,9 +895,12 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
     march's (never fewer) and converged depths agree within the
     convergence threshold (see :func:`sphere_trace`).
     ``cone_steps`` caps the cone march budget (shallower but cheaper
-    certified starts) and ``cone_tail_chunks > 1`` runs the cone march
-    itself with a sorted chunked tail (bitwise-identical certificates;
-    see :func:`_cone_prepass`)."""
+    certified starts), ``cone_tail_chunks > 1`` runs the cone march
+    itself with a sorted chunked tail (bitwise-identical certificates),
+    and ``cone_refine`` adds a hierarchical second cone stage at a finer
+    block size — deeper starts and more escape certificates near
+    silhouettes, where parent cones die pinched (see
+    :func:`_cone_prepass`)."""
     origins, dirs = camera_rays(camera)
     t_init = t_valid_from = sort_key = cert_miss = None
     if coarse_factor:
@@ -837,7 +915,7 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
         t_init, t_valid_from, cone_slow, cert_miss = _cone_prepass(
             sdf, camera, coarse_factor, num_steps, thresh, max_depth,
             corner_table, max_cone_steps=cone_steps,
-            cone_tail_chunks=cone_tail_chunks)
+            cone_tail_chunks=cone_tail_chunks, cone_refine=cone_refine)
         # The certified start is CONTROL data, not a differentiable
         # quantity: within the certified-empty interval the march result
         # does not depend on where it starts, so the true gradient of the
