@@ -119,10 +119,12 @@ def main():
         # compaction (ray_chunks) so per-device sampling cost tracks its
         # resident rays. steps_per_exchange=32: crossings are rare, so
         # fewer phases — the inner chunk loops early-exit anyway.
+        # ray_chunks=64: finer chunks track the 1/K resident fraction
+        # (BASELINE.md round-4 scaling table — 1.68x total at 8 shards).
         render_gsx_fn = jax.jit(
             lambda d: sharded.sharded_render_depth_grid_sharded(
                 sdf.replace(distances=d), cam, mesh, steps_per_exchange=32,
-                grid_axis=0, ray_chunks=16))
+                grid_axis=0, ray_chunks=64))
         t_render_gsx = timeit(render_gsx_fn, sdf.distances)
         results[f"mesh{k}"] = {
             "edt_s": t_edt, "carve_s": t_carve,
