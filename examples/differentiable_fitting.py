@@ -7,6 +7,13 @@ depth image, then recover a perturbed camera pose by gradient descent through
 the renderer (pixel gradients -> se3 tangent).
 """
 
+# Allow running as `python examples/<name>.py` from a source checkout
+# without installing the package.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 

@@ -7,6 +7,13 @@ cell centers and subsampled points plus `GetLocationFineGradient` checks —
 batched in one vmapped call instead of the reference's per-point loops.
 """
 
+# Allow running as `python examples/<name>.py` from a source checkout
+# without installing the package.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

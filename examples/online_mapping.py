@@ -13,6 +13,13 @@ map's SDF / rendered depth are consumed between frames:
   3. query the live SDF and sphere-trace a novel view from the final map.
 """
 
+# Allow running as `python examples/<name>.py` from a source checkout
+# without installing the package.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -8,6 +8,13 @@ with percent_seen_free=1.0, then voxelized with EVERY available backend
 CUDA / OpenCL / CPU) and cross-checked for identical results.
 """
 
+# Allow running as `python examples/<name>.py` from a source checkout
+# without installing the package.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -21,6 +21,13 @@ the single-device path — the determinism contract that replaces the
 reference's DegreeOfParallelism-invariance tests.
 """
 
+# Allow running as `python examples/<name>.py` from a source checkout
+# without installing the package.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 
 if __name__ == "__main__":

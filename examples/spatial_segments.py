@@ -11,6 +11,13 @@ a 50x50x25 version of the same scene (same structure, quarter the voxels) so
 it runs quickly on CPU too — pass --full for the reference size.
 """
 
+# Allow running as `python examples/<name>.py` from a source checkout
+# without installing the package.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

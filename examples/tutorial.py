@@ -8,6 +8,13 @@ values and timings the reference prints. Display output goes to a
 VoxelMarker summary instead of an RViz publisher.
 """
 
+# Allow running as `python examples/<name>.py` from a source checkout
+# without installing the package.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -8,6 +8,13 @@ of the traversed voxels. All iterations run as ONE batched raycast instead
 of the reference's per-iteration loop.
 """
 
+# Allow running as `python examples/<name>.py` from a source checkout
+# without installing the package.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
