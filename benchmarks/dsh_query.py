@@ -63,6 +63,11 @@ def main():
     n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     rng = np.random.default_rng(0)
     m, build_s, extent = build_map()
+    # Warm the backend BEFORE timing pack: the first jnp.asarray of the
+    # process pays backend init — through the axon tunnel that has measured
+    # anywhere from 10 s to the round-3 "1375 s pack" reading, which was
+    # this misattribution, not the (now bulk-numpy) packing itself.
+    _force(jnp.zeros(8))
     t0 = time.monotonic()
     packed = m.pack()
     packed = jax.tree.map(

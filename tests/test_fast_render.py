@@ -240,12 +240,25 @@ def _check_cone_equiv(base, cone, sdf):
     threshold. Tangent grazers — min query within float-noise of thresh,
     no crossing — can classify either way under any resampling (8/307k
     pixels on the 512^3 sphere at focal 600, certificates uninvolved).
-    The test scenes here have no sub-voxel grazers, so the strict
-    assertion stands as the regression guard.
+    So the strict containment assert applies to every pixel EXCEPT those
+    whose converged query sits within a small band of the threshold (the
+    documented-acceptable grazer class; measured excursion 0.0039*res,
+    band 20x that) — otherwise a future fixture with a sub-voxel grazer
+    would make the suite flaky for an accepted divergence (ADVICE
+    round-4 #3).
     """
     base_hit = np.asarray(base.hit)
     cone_hit = np.asarray(cone.hit)
-    assert (base_hit <= cone_hit).all(), "cone prepass skipped a surface"
+    divergent = base_hit & ~cone_hit
+    if divergent.any():
+        thresh = 0.25 * sdf.resolution
+        band = 0.08 * sdf.resolution
+        graze = np.abs(np.asarray(base.distance) - thresh) <= band
+        bad = divergent & ~graze
+        assert not bad.any(), (
+            f"cone prepass skipped {int(bad.sum())} non-grazer surface "
+            f"pixel(s) (min base query {np.asarray(base.distance)[bad].min()}"
+            f" vs thresh {thresh})")
     m = base_hit & cone_hit
     atol = 2.0 * 0.25 * sdf.resolution + 1e-6
     np.testing.assert_allclose(np.asarray(cone.depth)[m],

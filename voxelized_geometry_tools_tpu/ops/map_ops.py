@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.grid import get_index_values
-from ..core.maps import (SignedDistanceField,
+from ..core.maps import (OccupancyComponentMap, SignedDistanceField,
                          TaggedObjectOccupancyComponentMap)
 from . import edt, sdf_query, topology
 

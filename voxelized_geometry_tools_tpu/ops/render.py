@@ -773,6 +773,13 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     valid_from = jnp.where(hits_b, flat(t_start), jnp.float32(jnp.inf))
     out_f = f
 
+    if cone_refine and int(cone_refine) >= f:
+        # Silently no-opping here would hide a schedule typo (e.g.
+        # cone_refine=16 with coarse_factor=8) — mirror the divisibility
+        # ValueError below (ADVICE round-4 #2).
+        raise ValueError(
+            f"cone_refine={int(cone_refine)} must be smaller than "
+            f"coarse_factor={f} (it is the FINER second-stage block size)")
     if cone_refine and int(cone_refine) < f:
         # HIERARCHICAL REFINEMENT: every parent block spawns
         # (f / rf)^2 sub-cones at block size rf that CONTINUE from the

@@ -1053,22 +1053,33 @@ def _raycast_columns_impl(spec: GridSpec, grid_origin_transform: Array,
                         seen_filled=filled_counts.reshape(spec.counts))
 
 
+def _policy_sample(pts_dev, k: int = 2048):
+    """~``k``-point subsample for the eager run-axis policies, ON DEVICE
+    before materializing (a full 640x480 cloud would be ~3.7 MB of D2H +
+    an O(N) matmul just to pick one of three axes). Golden-ratio stepping
+    rather than a fixed stride: structured depth-image clouds are laid out
+    scanline-major, and a stride that divides (or resonates with) the row
+    width samples one image COLUMN — a spatially biased subset that can
+    misestimate the dominant axis (ADVICE round-4 #4). A step at the
+    golden fraction of N, forced coprime with N, is maximally
+    non-resonant with every row width. Speed policy only: the column
+    carve is bit-exact with the walk for ANY axis choice."""
+    n_pts = pts_dev.shape[0]
+    if n_pts <= k:
+        return pts_dev
+    step = max(1, int(round(n_pts * 0.6180339887498949)))
+    while np.gcd(step, n_pts) != 1:
+        step += 1
+    idx = (np.arange(k, dtype=np.int64) * step) % n_pts
+    return pts_dev[idx]
+
+
 def dominant_ray_axis(cloud: PointCloud,
                       grid_origin_transform=None) -> int:
     """Best ``run_axis`` for :func:`raycast_pointcloud_columns`: the GRID
     axis most aligned with the cloud's mean ray direction (eager helper —
     call with concrete data, not under jit)."""
-    # Subsample ON DEVICE before materializing: this runs on the host on
-    # EVERY voxelize call (a full 640x480 cloud would be ~3.7 MB of D2H +
-    # an O(N) matmul just to pick one of three axes); a strided ~2k-point
-    # sample picks the same dominant axis, and the column carve is
-    # bit-exact with the walk for ANY axis choice, so a borderline pick
-    # only affects speed, never results.
-    pts_dev = cloud.points
-    n_pts = pts_dev.shape[0]
-    if n_pts > 2048:
-        pts_dev = pts_dev[:: n_pts // 2048 + 1]
-    pts = np.asarray(pts_dev)
+    pts = np.asarray(_policy_sample(cloud.points))
     finite = np.all(np.isfinite(pts), axis=-1)
     if not finite.any():
         return 2
@@ -1088,11 +1099,7 @@ def pick_run_axis(cloud: PointCloud, grid_origin_transform=None,
     camera bundles whose rays straddle axis boundaries carve each ray in
     its own best frame). Like :func:`dominant_ray_axis` this is a speed
     policy only — every choice is bit-exact with the voxel walk."""
-    pts_dev = cloud.points
-    n_pts = pts_dev.shape[0]
-    if n_pts > 2048:
-        pts_dev = pts_dev[:: n_pts // 2048 + 1]
-    pts = np.asarray(pts_dev)
+    pts = np.asarray(_policy_sample(cloud.points))
     finite = np.all(np.isfinite(pts), axis=-1)
     if not finite.any():
         return 2
