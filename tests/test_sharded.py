@@ -363,3 +363,78 @@ def test_sharded_carve_run_axis_auto_eager(mesh8):
                                   np.asarray(walk.seen_free))
     np.testing.assert_array_equal(np.asarray(auto.seen_filled),
                                   np.asarray(walk.seen_filled))
+
+
+@pytest.mark.slow
+def test_grid_sharded_slab_table_matches_single_device(mesh8):
+    """Slab-local corner table (round-4 VERDICT #2): the grid-sharded
+    renderer with ``corner_rows`` must reproduce the single-chip
+    corner-table march (ulp tolerance — different XLA programs fuse the
+    identical interpolation expression differently), for slab axes both
+    parallel and perpendicular to the view, and must be bit-invariant
+    across its own (steps_per_exchange, ray_chunks) schedules."""
+    from voxelized_geometry_tools_tpu.ops import sdf_query
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    table = sdf_query.build_corner_table(sdf)
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    camera = render.PinholeCamera.create(pose, width=24, height=16,
+                                         focal=20.0)
+    single = render.sphere_trace(
+        sdf, *render.camera_rays(camera), num_steps=32,
+        corner_table=table, early_exit=True, tail_chunks=1).depth
+    for gax in (0, 2):
+        rows = jax.jit(lambda d, gax=gax: sharded.sharded_build_corner_table(
+            sdf.replace(distances=d), mesh8, grid_axis=gax))(sdf.distances)
+        outs = []
+        for k, rc in [(32, 1), (4, 16), (8, 4)]:
+            multi = jax.jit(
+                lambda d, r, gax=gax, k=k, rc=rc:
+                sharded.sharded_render_depth_grid_sharded(
+                    sdf.replace(distances=d), camera, mesh8, grid_axis=gax,
+                    num_steps=32, steps_per_exchange=k, ray_chunks=rc,
+                    corner_rows=r))(sdf.distances, rows)
+            outs.append(np.asarray(multi))
+        np.testing.assert_allclose(outs[0], np.asarray(single), atol=1e-5,
+                                   err_msg=f"gax={gax}")
+        for o in outs[1:]:  # schedule invariance stays bit-exact
+            np.testing.assert_array_equal(outs[0], o)
+
+
+@pytest.mark.slow
+def test_grid_sharded_cone_prepass_contract(mesh8):
+    """The replicated psum-sampled cone prepass inside the grid-sharded
+    renderer obeys the single-chip prepass contract: hits are a superset
+    of the plain march's, common depths agree within the convergence
+    band, and the hit mask equals the single-chip prepass render's."""
+    from voxelized_geometry_tools_tpu.ops import sdf_query
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    table = sdf_query.build_corner_table(sdf)
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    camera = render.PinholeCamera.create(pose, width=24, height=16,
+                                         focal=20.0)
+    plain = render.sphere_trace(
+        sdf, *render.camera_rays(camera), num_steps=32,
+        corner_table=table, early_exit=True, tail_chunks=1).depth
+    rows = jax.jit(lambda d: sharded.sharded_build_corner_table(
+        sdf.replace(distances=d), mesh8, grid_axis=0))(sdf.distances)
+    multi = jax.jit(lambda d, r: sharded.sharded_render_depth_grid_sharded(
+        sdf.replace(distances=d), camera, mesh8, grid_axis=0, num_steps=32,
+        corner_rows=r, coarse_factor=8, cone_steps=16,
+        cone_tail_chunks=4))(sdf.distances, rows)
+    plain, multi = np.asarray(plain), np.asarray(multi)
+    base_hit, cone_hit = plain < 99.0, multi < 99.0
+    assert (base_hit <= cone_hit).all(), "prepass skipped a surface"
+    m = base_hit & cone_hit
+    atol = 2.0 * 0.25 * sdf.resolution + 1e-6
+    np.testing.assert_allclose(multi[m], plain[m], atol=atol)
+    single_cone = render.render_depth(
+        sdf, camera, num_steps=32, corner_table=table, early_exit=True,
+        coarse_factor=8, head_steps=0, tail_chunks=8, cone_steps=16,
+        cone_tail_chunks=4)
+    np.testing.assert_array_equal(np.asarray(single_cone.hit), cone_hit)

@@ -179,7 +179,8 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  sort_key: Optional[Array] = None,
                  certified_miss: Optional[Array] = None,
                  sort_block: int = 1,
-                 remat: bool = False) -> RenderResult:
+                 remat: bool = False,
+                 with_stats: bool = False):
     """Sphere-trace rays through an SDF grid.
 
     ``origins``/``dirs`` are ``[..., 3]`` world frame. The march advances each
@@ -243,6 +244,16 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
       the gather engine services at near row rate instead of per scalar.
       The caller must lay rays out so blocks are contiguous
       (:func:`render_depth` does this for cone blocks).
+    * ``with_stats``: also return a dict of per-phase WORK COUNTERS —
+      the while-loop iteration counts each phase actually executed
+      (``fine_head_iters`` scalar, ``fine_tail_iters [tail_chunks]``) and
+      the static widths they ran at (``fine_head_width``,
+      ``fine_tail_chunk_width``, ``fine_sort_blocks``,
+      ``fine_sort_arrays``). One iteration issues exactly one gather row
+      per lane of its phase width, so ``sum(iters * width)`` is the
+      frame's gather-row count — the auditable input to the HBM-roofline
+      fraction (round-4 VERDICT #1). Counters ride the existing loop
+      carries; the default path's compiled program is unchanged.
     """
     if surface_threshold is None:
         surface_threshold = 0.25 * sdf.resolution
@@ -361,19 +372,21 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
         # Derive the initial carry from the input so its varying manual
         # axes match the body outputs under shard_map.
         d0 = t_init * 0.0 + big
-        _, t_out, alive_out, d_prev, d_cur = lax.while_loop(
+        iters, t_out, alive_out, d_prev, d_cur = lax.while_loop(
             cond, body, (jnp.int32(0), t_init, alive_init, d0, d0))
-        return t_out, alive_out, d_prev, d_cur
+        return t_out, alive_out, d_prev, d_cur, iters
 
     alive0 = hits_grid if mip is None else (hits_grid & (t0 < t_stop))
     if killed is not None:
         alive0 = alive0 & ~killed
+    stats = {}
     if early_exit:
         head = min(int(head_steps), num_steps) if tail_chunks > 1 \
             else num_steps
         if head > 0:
-            t_final, alive, d_prev, d_cur = march_while(
+            t_final, alive, d_prev, d_cur, head_iters = march_while(
                 t0, alive0, origins, dirs, t_stop, head)
+            stats["fine_head_iters"] = head_iters
         else:
             # head_steps=0: no full-width fine steps at all — the caller
             # must supply `sort_key` (e.g. the cone-depth edge key of
@@ -381,6 +394,9 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             # cluster slow rays by.
             t_final, alive = t0, alive0
             d_prev = d_cur = None
+            stats["fine_head_iters"] = jnp.int32(0)
+        stats["fine_head_width"] = int(np.prod(t_final.shape)) \
+            if t_final.shape else 1
         remaining = num_steps - head
         if remaining > 0 and tail_chunks > 1:
             # Compact still-alive rays ordered by ESTIMATED remaining steps
@@ -447,16 +463,25 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
 
             def march_chunk(args):
                 t_c, alive_c, o_c, d_c, stop_c = args
-                t_out, _, _, _ = march_while(t_c, alive_c, o_c, d_c, stop_c,
-                                             remaining)
-                return t_out
+                t_out, _, _, _, i_out = march_while(
+                    t_c, alive_c, o_c, d_c, stop_c, remaining)
+                return t_out, i_out
 
             # lax.map compiles the chunk body once and runs chunks
             # sequentially — all-dead chunks cost a single alive check.
-            t_sorted = lax.map(march_chunk, (
+            t_sorted, tail_iters = lax.map(march_chunk, (
                 t_s.reshape(k, chunk), alive_s.reshape(k, chunk),
                 o_s.reshape(k, chunk, 3), d_s.reshape(k, chunk, 3),
-                stop_s.reshape(k, chunk))).reshape(-1)
+                stop_s.reshape(k, chunk)))
+            t_sorted = t_sorted.reshape(-1)
+            stats["fine_tail_iters"] = tail_iters          # i32 [k]
+            stats["fine_tail_chunk_width"] = chunk
+            # Rows the compaction permute moves PER ARRAY: whole
+            # sort-blocks when bs > 1, scalar rows otherwise.
+            stats["fine_sort_blocks"] = (nb + pad_b) if bs > 1 else (n + pad)
+            # 5 permute gathers in + 1 scatter back (t, alive, o, d, stop
+            # in; t out) — all at sort-block row granularity.
+            stats["fine_sort_arrays"] = 6
             if bs > 1:
                 t_final = jnp.zeros(
                     (nb + pad_b, bs), t_final.dtype).at[order_b].set(
@@ -479,6 +504,9 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             step = jax.checkpoint(step)
         (t_final, alive), _ = lax.scan(step, (t0, alive0), None,
                                        length=num_steps)
+        stats["fine_head_iters"] = jnp.int32(num_steps)
+        stats["fine_head_width"] = int(np.prod(t_final.shape)) \
+            if t_final.shape else 1
 
     points = origins + dirs * t_final[..., None]
     q = sample(points)
@@ -491,8 +519,13 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     # the ray direction via the chain rule).
     refined_t = t_final + jnp.where(hit, final_d, 0.0)
     depth = jnp.where(hit, refined_t, jnp.float32(max_depth))
-    return RenderResult(depth=depth, hit=hit, points=points,
-                        distance=final_d)
+    result = RenderResult(depth=depth, hit=hit, points=points,
+                          distance=final_d)
+    if with_stats:
+        stats["final_sample_rows"] = int(np.prod(t_final.shape)) \
+            if t_final.shape else 1
+        return result, stats
+    return result
 
 
 def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
@@ -501,7 +534,9 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
                   corner_table: Optional[_AnyCornerTable],
                   max_cone_steps: Optional[int] = None,
                   cone_tail_chunks: int = 1,
-                  cone_refine: Optional[int] = None
+                  cone_refine: Optional[int] = None,
+                  stats: Optional[dict] = None,
+                  raw_sample_fn=None
                   ) -> Tuple[Array, Array, Array, Array]:
     """Cone-traced coarse pass: one ray per ``factor x factor`` pixel block,
     advanced only while the SDF sample exceeds the cone radius — so the
@@ -557,6 +592,14 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     deep and converge or escape in a few steps. Certificates compose
     (children start AT the parent depth, so intervals are contiguous);
     the returned images are at ``cone_refine`` block granularity.
+
+    ``raw_sample_fn`` overrides the SDF sampler (position ``[..., 3]``
+    world -> :class:`sdf_query.DistanceQuery`): the grid-sharded renderer
+    injects a psum-composed slab sampler here so the prepass can run with
+    REPLICATED arithmetic over a sharded grid — every device marches the
+    identical (tiny, rays/factor^2) cone wave and only the sample values
+    ride a collective, so certificates come out bit-identical to the
+    single-chip prepass.
     """
     f = int(factor)
     wc, hc = camera.width // f, camera.height // f
@@ -594,7 +637,9 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     center, tan_t = block_geometry(f)
     origins = jnp.broadcast_to(camera.pose[:3, 3], center.shape)
 
-    if corner_table is not None:
+    if raw_sample_fn is not None:
+        raw_sample = raw_sample_fn
+    elif corner_table is not None:
         def raw_sample(pos):
             return sdf_query.estimate_location_distance_fast(
                 sdf, corner_table, pos)
@@ -717,14 +762,20 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
         check. Bit-result-invariant (per-cone sequences unchanged)."""
         d0 = t0 * 0.0 + big
         head = budget if k_cone <= 1 else min(8, budget)
-        _, t_c, alive_e, used, escaped, d_prev, d_cur = cone_march(
+        hd_iters, t_c, alive_e, used, escaped, d_prev, d_cur = cone_march(
             (jnp.int32(0), t0, alive0, used0, escaped0, d0, d0),
             o, c, tt, tx, head)
+        st = {"head_iters": hd_iters, "head_width": t_c.shape[0]}
+        if stats is not None:
+            stats.setdefault("cone_stages", []).append(st)
         if k_cone <= 1 or budget <= head:
             return t_c, alive_e, used, escaped
         n = t_c.shape[0]
         pad = (-n) % k_cone
         chunk = (n + pad) // k_cone
+        # 10 permute gathers in + 4 unsort scatters out, scalar rows.
+        st["sort_rows"] = n + pad
+        st["sort_arrays"] = 14
 
         def flat_pad(x, fill):
             cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
@@ -744,17 +795,20 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
 
         def march_chunk(args):
             t_k, al_k, us_k, es_k, dp_k, dc_k, o_k, c_k, tt_k, tx_k = args
-            _, t_o, al_o, us_o, es_o, _, _ = cone_march(
+            i_o, t_o, al_o, us_o, es_o, _, _ = cone_march(
                 (jnp.int32(0), t_k, al_k, us_k, es_k, dp_k, dc_k),
                 o_k, c_k, tt_k, tx_k, budget - head)
-            return t_o, al_o, us_o, es_o
+            return t_o, al_o, us_o, es_o, i_o
 
-        t_o, al_o, us_o, es_o = lax.map(march_chunk, (
+        t_o, al_o, us_o, es_o, it_o = lax.map(march_chunk, (
             t_s.reshape(k_cone, chunk), al_s.reshape(k_cone, chunk),
             us_s.reshape(k_cone, chunk), es_s.reshape(k_cone, chunk),
             dp_s.reshape(k_cone, chunk), dc_s.reshape(k_cone, chunk),
             o_s.reshape(k_cone, chunk, 3), c_s.reshape(k_cone, chunk, 3),
             tt_s.reshape(k_cone, chunk), tx_s.reshape(k_cone, chunk)))
+
+        st["tail_iters"] = it_o                       # i32 [k_cone]
+        st["tail_chunk_width"] = chunk
 
         def unsort(x, dtype):
             return jnp.zeros((n + pad,), dtype).at[order].set(
@@ -845,6 +899,40 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
             up_img(escaped))
 
 
+def gather_rows_from_stats(stats: dict,
+                           gathers_per_sample: float = 1.0) -> float:
+    """Total HBM gather/scatter ROWS a rendered frame issued, from the
+    ``with_stats=True`` counters of :func:`render_depth` — the auditable
+    numerator of the achieved-roofline fraction (round-4 VERDICT #1):
+
+    ``ideal_frame_s = gather_rows * ROW_NS`` where ``ROW_NS ~= 9.3e-9`` is
+    the measured v5e gather-engine issue rate per row at multi-million-row
+    batches, independent of row width 4-512 B (benchmarks/roofline.py).
+    Every march iteration issues exactly one SDF sample per lane of its
+    phase width (one gather row with a :class:`sdf_query.CornerTable`,
+    ``gathers_per_sample=8`` for the raw trilinear stencil, 1 for the
+    lane-packed pair table); compaction permutes/scatters move one row
+    per sort unit per array. Call OUTSIDE the timed section — reading the
+    counters is a few 4-byte D2H transfers."""
+    rows = 0.0
+    for st in stats.get("cone_stages", []):
+        rows += float(st["head_iters"]) * st["head_width"] \
+            * gathers_per_sample
+        if "tail_iters" in st:
+            rows += float(jnp.sum(st["tail_iters"])) \
+                * st["tail_chunk_width"] * gathers_per_sample
+        if "sort_rows" in st:
+            rows += st["sort_rows"] * st["sort_arrays"]
+    rows += (float(stats.get("fine_head_iters", 0))
+             * stats.get("fine_head_width", 0) * gathers_per_sample)
+    if "fine_tail_iters" in stats:
+        rows += (float(jnp.sum(stats["fine_tail_iters"]))
+                 * stats["fine_tail_chunk_width"] * gathers_per_sample)
+        rows += stats["fine_sort_blocks"] * stats["fine_sort_arrays"]
+    rows += stats.get("final_sample_rows", 0) * gathers_per_sample
+    return rows
+
+
 def block_relayout(height: int, width: int, factor: int,
                    batch: Optional[int] = None):
     """``(to_blocks, from_blocks)`` for the block-tail schedule: lay a
@@ -890,7 +978,8 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
                  cone_steps: Optional[int] = None,
                  cone_tail_chunks: int = 1,
                  cone_refine: Optional[int] = None,
-                 **trace_kwargs) -> RenderResult:
+                 with_stats: bool = False,
+                 **trace_kwargs):
     """Render an ``[H, W]`` depth image (differentiable in ``sdf.distances``
     and ``camera.pose``). See :func:`sphere_trace` for the performance
     knobs ``corner_table`` / ``early_exit`` / ``mip`` (plus ``coarse_steps``
@@ -907,9 +996,15 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
     and ``cone_refine`` adds a hierarchical second cone stage at a finer
     block size — deeper starts and more escape certificates near
     silhouettes, where parent cones die pinched (see
-    :func:`_cone_prepass`)."""
+    :func:`_cone_prepass`).
+    ``with_stats=True`` returns ``(result, stats)`` where ``stats`` maps
+    each phase to the while-loop iteration counts it actually executed
+    and the static widths it ran at (see :func:`sphere_trace`); feed it
+    to :func:`gather_rows_from_stats` for the frame's total gather-row
+    count — the auditable numerator of the HBM-roofline fraction."""
     origins, dirs = camera_rays(camera)
     t_init = t_valid_from = sort_key = cert_miss = None
+    stats = {} if with_stats else None
     if coarse_factor:
         if camera.width % coarse_factor or camera.height % coarse_factor:
             # Silent fallback here would be a multi-x throughput regression
@@ -922,7 +1017,8 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
         t_init, t_valid_from, cone_slow, cert_miss = _cone_prepass(
             sdf, camera, coarse_factor, num_steps, thresh, max_depth,
             corner_table, max_cone_steps=cone_steps,
-            cone_tail_chunks=cone_tail_chunks, cone_refine=cone_refine)
+            cone_tail_chunks=cone_tail_chunks, cone_refine=cone_refine,
+            stats=stats)
         # The certified start is CONTROL data, not a differentiable
         # quantity: within the certified-empty interval the march result
         # does not depend on where it starts, so the true gradient of the
@@ -962,15 +1058,25 @@ def render_depth(sdf: SignedDistanceField, camera: PinholeCamera,
             t_init_valid_from=to_blocks(t_valid_from),
             sort_key=to_blocks(sort_key),
             certified_miss=to_blocks(cert_miss),
-            sort_block=f * f, **trace_kwargs)
-        return RenderResult(*(from_blocks(v) for v in result))
-    return sphere_trace(sdf, origins, dirs, num_steps=num_steps,
-                        max_depth=max_depth,
-                        surface_threshold=surface_threshold,
-                        corner_table=corner_table, early_exit=early_exit,
-                        mip=mip, t_init=t_init,
-                        t_init_valid_from=t_valid_from, sort_key=sort_key,
-                        certified_miss=cert_miss, **trace_kwargs)
+            sort_block=f * f, with_stats=with_stats, **trace_kwargs)
+        if with_stats:
+            result, trace_stats = result
+            stats.update(trace_stats)
+        result = RenderResult(*(from_blocks(v) for v in result))
+        return (result, stats) if with_stats else result
+    result = sphere_trace(sdf, origins, dirs, num_steps=num_steps,
+                          max_depth=max_depth,
+                          surface_threshold=surface_threshold,
+                          corner_table=corner_table, early_exit=early_exit,
+                          mip=mip, t_init=t_init,
+                          t_init_valid_from=t_valid_from, sort_key=sort_key,
+                          certified_miss=cert_miss,
+                          with_stats=with_stats, **trace_kwargs)
+    if with_stats:
+        result, trace_stats = result
+        stats.update(trace_stats)
+        return result, stats
+    return result
 
 
 def render_depth_batch(sdf: SignedDistanceField, cameras: PinholeCamera,

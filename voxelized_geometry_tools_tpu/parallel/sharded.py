@@ -507,6 +507,88 @@ def sharded_render_depth(sdf: SignedDistanceField,
     return mapped(args)
 
 
+def sharded_build_corner_table(sdf: SignedDistanceField, mesh: Mesh,
+                               axis_name: str = "z",
+                               grid_axis: int = 2) -> Array:
+    """Slab-local corner-brick rows for
+    :func:`sharded_render_depth_grid_sharded` — the grid-sharded analogue
+    of :func:`...ops.sdf_query.build_corner_table` (round-4 VERDICT #2:
+    the only render path for grids exceeding one chip's HBM paid 8
+    gathers per trilinear sample while the single-chip path paid one).
+
+    Each device builds rows for the base cells IT owns from its slab plus
+    the ONE halo plane the renderer already fetches (``ppermute`` from the
+    +axis neighbor), so no device ever materializes more than
+    ``8 x slab`` bytes — the table shards exactly like the grid. Row
+    ``flat_local(b)`` (C-order over the PERMUTED local shape, slab axis
+    major) holds the 8 corrected corner distances in the permuted order
+    ``c = 4*d_ax + 2*d_o1 + d_o2``; the renderer's sampler re-orders lanes
+    to the canonical ``4*dx + 2*dy + dz`` so its interpolation arithmetic
+    is the exact single-chip :func:`estimate_location_distance_fast`
+    expression. The last shard's top row (global base ``n_ax - 1``) is
+    built from the WRAPPED halo and is garbage by construction — base
+    cells clamp to ``n_ax - 2`` globally, so it is never gathered.
+
+    Returns the rows as one ``[n_cells, 8]`` array sharded
+    ``P(axis_name)`` on axis 0 — pass it to the renderer's
+    ``corner_rows``. Call under ``jax.jit``."""
+    from ..ops.sdf_query import _pull_to_surface
+
+    spec = sdf.spec
+    n_shards = mesh.shape[axis_name]
+    counts = spec.counts
+    ax = int(grid_axis)
+    if ax not in (0, 1, 2):
+        raise ValueError(f"grid_axis must be 0, 1, or 2, got {grid_axis}")
+    n_ax = counts[ax]
+    if n_ax % n_shards:
+        raise ValueError(
+            f"{n_shards} shards must divide counts[{ax}] ({n_ax})")
+    lsz = n_ax // n_shards
+    other = [a for a in range(3) if a != ax]
+    n1, n2 = counts[other[0]], counts[other[1]]
+    d_dtype = jnp.asarray(sdf.distances).dtype
+    half = d_dtype.type(sdf.resolution * 0.5)
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def local_build(local_d):
+        halo = lax.ppermute(
+            lax.slice_in_dim(local_d, 0, 1, axis=ax), axis_name, perm)
+        ext = jnp.moveaxis(jnp.concatenate([local_d, halo], axis=ax),
+                           ax, 0)  # [lsz + 1, n1, n2]
+
+        def plane(a):
+            # Correct + edge-pad per plane (mirrors build_corner_table:
+            # whole-slab corrected copies as loop operands would double
+            # the transient exactly at the scale this path serves).
+            pl = _pull_to_surface(
+                lax.dynamic_slice(ext, (a, 0, 0), (1, n1, n2))[0], half)
+            pl = jnp.concatenate([pl, pl[-1:, :]], axis=0)
+            return jnp.concatenate([pl, pl[:, -1:]], axis=1)
+
+        rows0 = jnp.zeros((lsz * n1 * n2, 8), d_dtype)
+        # Derive a shard-varying zero so the fori_loop carry's manual axes
+        # match the body outputs under check_vma.
+        rows0 = rows0 + local_d.ravel()[0] * 0
+
+        def body(a, rows):
+            p0 = plane(a)
+            p1 = plane(a + 1)  # halo plane covers the slab's top stencil
+            chans = [(p0 if da == 0 else p1)[d1:d1 + n1, d2:d2 + n2]
+                     for da in (0, 1) for d1 in (0, 1) for d2 in (0, 1)]
+            plane_rows = jnp.stack(chans, axis=-1).reshape(n1 * n2, 8)
+            return lax.dynamic_update_slice(rows, plane_rows,
+                                            (a * n1 * n2, 0))
+
+        return lax.fori_loop(0, lsz, body, rows0)
+
+    in_spec = [None, None, None]
+    in_spec[ax] = axis_name
+    fn = shard_map(local_build, mesh=mesh, in_specs=P(*in_spec),
+                   out_specs=P(axis_name))
+    return fn(sdf.distances)
+
+
 def sharded_render_depth_grid_sharded(
         sdf: SignedDistanceField, camera: render_ops.PinholeCamera,
         mesh: Mesh, axis_name: str = "z", num_steps: int = 64,
@@ -514,7 +596,11 @@ def sharded_render_depth_grid_sharded(
         surface_threshold: Optional[float] = None,
         steps_per_exchange: int = 8,
         grid_axis: int = 2,
-        ray_chunks: int = 16) -> Array:
+        ray_chunks: int = 16,
+        corner_rows: Optional[Array] = None,
+        coarse_factor: int = 0,
+        cone_steps: Optional[int] = None,
+        cone_tail_chunks: int = 1) -> Array:
     """Render with the GRID slab-sharded (for grids too big for one chip);
     rays are replicated.
 
@@ -556,6 +642,28 @@ def sharded_render_depth_grid_sharded(
     (``steps_per_exchange``, ``ray_chunks``, ``grid_axis``) — same
     samples, same budget; the owner evaluates the full stencil locally.
     Inference path (``while_loop``).
+
+    Fast-path knobs (round-4 VERDICT #2 — this path previously ran none
+    of the single-chip machinery and paid 8 gathers per sample):
+
+    * ``corner_rows``: slab-local corner-brick rows from
+      :func:`sharded_build_corner_table` (same mesh/axis/``grid_axis``) —
+      each owned trilinear sample becomes ONE local row gather with the
+      exact single-chip interpolation arithmetic (lane reorder from the
+      permuted build order, then the canonical expression), so values
+      match :func:`...ops.render.sphere_trace` with a
+      :class:`CornerTable` bit for bit.
+    * ``coarse_factor`` / ``cone_steps`` / ``cone_tail_chunks``: the cone
+      prepass, run with REPLICATED arithmetic inside the shard_map — the
+      cone wave is tiny (``rays / factor^2``) so every device marches the
+      identical wave; only sample values ride a ``psum`` (one per cone
+      step, slab owner contributes). Certificates are bit-identical to
+      the single-chip prepass, so the contract is the same: certified
+      starts skip the empty interior (fewer owner phases), escape-
+      certified rays retire without marching, hits are a superset of the
+      plain march's, and common depths agree within the convergence
+      threshold. The per-block slowness key additionally orders the owner
+      compaction so slow rays cluster in the same chunks.
     """
     spec = sdf.spec
     n_shards = mesh.shape[axis_name]
@@ -592,18 +700,38 @@ def sharded_render_depth_grid_sharded(
     pad = (-n) % kc
     chunk = (n + pad) // kc
 
-    def local_render(local_d):
+    other = [a for a in range(3) if a != ax]
+    n1, n2 = counts[other[0]], counts[other[1]]
+    # Lane map from the slab table's PERMUTED corner order (slab axis
+    # major, see sharded_build_corner_table) back to the canonical
+    # c = 4*dx + 2*dy + dz the single-chip interpolation expression uses.
+    lane_perm = np.zeros(8, np.int32)
+    for cc in range(8):
+        d3 = ((cc >> 2) & 1, (cc >> 1) & 1, cc & 1)
+        lane_perm[cc] = 4 * d3[ax] + 2 * d3[other[0]] + d3[other[1]]
+    if coarse_factor:
+        if camera.width % coarse_factor or camera.height % coarse_factor:
+            raise ValueError(
+                f"coarse_factor={coarse_factor} must divide the image "
+                f"dimensions {camera.width}x{camera.height}")
+    # A distances-free shell for the prepass helpers (_clip_to_grid, the
+    # clamp wrapper): capturing the real sharded distances leaf inside the
+    # shard_map body would smuggle the FULL grid into every device.
+    sdf_shell = sdf.replace(distances=jnp.zeros((1, 1, 1), jnp.float32))
+
+    def local_render(local_d, local_rows=None):
         shard = lax.axis_index(axis_name)
         a_lo = shard * lsz
-        # +axis halo plane from the next shard (the last shard's halo is
-        # unused: base cells there are clamped to n_ax - 2, owned by the
-        # last shard with its own planes; a zero plane keeps shapes static).
-        halo = lax.ppermute(
-            lax.slice_in_dim(local_d, 0, 1, axis=ax), axis_name, perm)
-        ext = jnp.concatenate([local_d, halo], axis=ax)
-
         half = res * 0.5
-        corrected = jnp.where(ext >= 0.0, ext - half, ext + half)
+        if local_rows is None:
+            # +axis halo plane from the next shard (the last shard's halo
+            # is unused: base cells there are clamped to n_ax - 2, owned
+            # by the last shard with its own planes; a zero plane keeps
+            # shapes static).
+            halo = lax.ppermute(
+                lax.slice_in_dim(local_d, 0, 1, axis=ax), axis_name, perm)
+            ext = jnp.concatenate([local_d, halo], axis=ax)
+            corrected = jnp.where(ext >= 0.0, ext - half, ext + half)
 
         def base_cells(pos):
             """Stencil base cell, trilinear fractions, in-bounds flag, and
@@ -623,6 +751,21 @@ def sharded_render_depth_grid_sharded(
         def sample_local(pos):
             """(value, valid, mine): value is correct only where mine."""
             b, frac, valid, mine = base_cells(pos)
+            if local_rows is not None:
+                # ONE local row gather + the exact single-chip
+                # interpolation expression (corners lane-reordered from
+                # the slab table's permuted build order) — values match
+                # estimate_location_distance_fast bit for bit.
+                flat = (jnp.where(mine, b[:, ax] - a_lo, 0) * (n1 * n2)
+                        + b[:, other[0]] * n2 + b[:, other[1]])
+                corners = local_rows[flat][:, lane_perm]
+                tx = frac[:, 0:1]
+                ty = frac[:, 1:2]
+                tz = frac[:, 2:3]
+                cx = corners[:, 0:4] * (1 - tx) + corners[:, 4:8] * tx
+                cy = cx[:, 0:2] * (1 - ty) + cx[:, 2:4] * ty
+                value = cy[:, 0] * (1 - tz[:, 0]) + cy[:, 1] * tz[:, 0]
+                return value, valid, mine
             i0 = [b[:, 0], b[:, 1], b[:, 2]]
             i0[ax] = jnp.where(mine, b[:, ax] - a_lo, 0)
             i1 = [jnp.minimum(b[:, k] + 1, counts[k] - 1) for k in range(3)]
@@ -679,15 +822,50 @@ def sharded_render_depth_grid_sharded(
                 (jnp.int32(0), t_c, al_c, st_c, al_c))
             return t_o, al_o, st_o
 
+        # -- Cone prepass (replicated arithmetic, psum-composed samples) --
+        t0_l, alive0 = t0, hits_grid
+        slow_flat = None
+        if coarse_factor:
+            def raw_psum_sample(pos):
+                v, valid, mine = sample_local(pos)
+                v = lax.psum(jnp.where(mine, v, 0.0), axis_name)
+                from ..ops.sdf_query import DistanceQuery
+                return DistanceQuery(v, valid)
+
+            t_i, t_v, cone_slow, c_m = render_ops._cone_prepass(
+                sdf_shell, camera, int(coarse_factor), num_steps,
+                float(surface_threshold), max_depth, None,
+                max_cone_steps=cone_steps,
+                cone_tail_chunks=cone_tail_chunks,
+                raw_sample_fn=raw_psum_sample)
+            t_i = lax.stop_gradient(t_i).reshape(n)
+            t_v = lax.stop_gradient(t_v).reshape(n)
+            slow_flat = lax.stop_gradient(cone_slow).reshape(n)
+            c_m = lax.stop_gradient(c_m).reshape(n)
+            # Mirror sphere_trace's certificate application exactly
+            # (ops/render.py): retire rays whose whole in-grid span is
+            # inside the certified-miss interval; start the rest at the
+            # certified depth, gated on their own entry being covered.
+            killed = c_m & (t_stop <= t_i) & (t_enter >= t_v)
+            ti = jnp.minimum(t_i, t_stop)
+            ti = jnp.where(t_enter >= t_v, ti, t0)
+            t0_l = jnp.maximum(t0, ti)
+            alive0 = hits_grid & ~killed
+
         def phase(t, alive, steps):
             """Advance owned rays locally up to k_ex steps; no collectives.
             Owner compaction: sort this device's owned-and-runnable rays to
             the front and march in chunks — per-phase sampling cost is the
-            resident-ray count, not the full replicated width."""
+            resident-ray count, not the full replicated width. With the
+            prepass on, the cone slowness key additionally clusters slow
+            (silhouette) rays into the same chunks — the single-chip tail
+            sort's trick, applied within the owned group."""
             pos = origins + dirs * t[..., None]
             _, _, _, mine_now = base_cells(pos)
             runnable = alive & (steps < num_steps)
-            key = (~(mine_now & runnable)).astype(jnp.int32)
+            key = (~(mine_now & runnable)).astype(jnp.float32) * 1e12
+            if slow_flat is not None:
+                key = key - slow_flat
             order = jnp.argsort(key, stable=True)
 
             def prep(x, fill):
@@ -731,7 +909,7 @@ def sharded_render_depth_grid_sharded(
             return t, alive, steps
 
         steps0 = jnp.zeros(t0.shape, jnp.int32)
-        t_final, _, _ = lax.while_loop(cond, body, (t0, hits_grid, steps0))
+        t_final, _, _ = lax.while_loop(cond, body, (t0_l, alive0, steps0))
 
         points = origins + dirs * t_final[..., None]
         final_d, valid = sample_global(points)
@@ -743,6 +921,13 @@ def sharded_render_depth_grid_sharded(
 
     in_spec = [None, None, None]
     in_spec[ax] = axis_name
-    fn = shard_map(local_render, mesh=mesh,
-                   in_specs=P(*in_spec), out_specs=P())
-    return fn(sdf.distances)
+    args = {"dist": sdf.distances}
+    specs = {"dist": P(*in_spec)}
+    if corner_rows is not None:
+        args["rows"], specs["rows"] = corner_rows, P(axis_name)
+
+    def fn_dict(a):
+        return local_render(a["dist"], local_rows=a.get("rows"))
+
+    fn = shard_map(fn_dict, mesh=mesh, in_specs=(specs,), out_specs=P())
+    return fn(args)
