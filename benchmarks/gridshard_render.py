@@ -53,8 +53,9 @@ def build_scene(n):
                              sparse=True)
     c, r = n / 2.0, n / 4.0
     filled = ((xs - c) ** 2 + (ys - c) ** 2 + (zs - c) ** 2) <= r * r
-    vals = jax.jit(lambda m: edt.signed_distance_from_filled_mask(
-        m, spec.resolution, block=512))(jnp.asarray(filled))
+    edt_fn = (edt.signed_distance_from_filled_mask_streamed if n >= 640
+              else edt.signed_distance_from_filled_mask)
+    vals = jax.jit(lambda m: edt_fn(m, spec.resolution))(jnp.asarray(filled))
     F(vals)
     sdf = SignedDistanceField.create(spec, vals, None, "bench", locked=True)
     sizes = np.asarray(spec.grid_sizes)

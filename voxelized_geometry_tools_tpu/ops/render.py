@@ -750,7 +750,8 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
     big = jnp.float32(1e30)
     k_cone = int(cone_tail_chunks)
 
-    def run_stage(o, c, tt, tx, t0, alive0, used0, escaped0):
+    def run_stage(o, c, tt, tx, t0, alive0, used0, escaped0,
+                  head_steps=None, sort_key0=None):
         """Head + (optionally) sorted chunked tail over FLAT [m] cones.
 
         The chunked tail is the fine tail's trick applied to the cone
@@ -759,12 +760,31 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
         full-width steps, still-alive cones are compacted ordered by
         estimated remaining steps and the rest of the budget runs in
         ``k_cone`` chunks under lax.map — all-dead chunks cost one alive
-        check. Bit-result-invariant (per-cone sequences unchanged)."""
+        check. Bit-result-invariant (per-cone sequences unchanged).
+
+        ``head_steps=0`` skips the full-width head entirely and sorts by
+        the caller's ``sort_key0`` (larger = slower) instead of the
+        head's decay estimate — the refine stage uses this with the
+        PARENT's slowness so dead children (of escaped parents) and
+        fast-converging children never occupy full-width lanes (the
+        round-4 net-loss came from exactly those lanes)."""
         d0 = t0 * 0.0 + big
         head = budget if k_cone <= 1 else min(8, budget)
-        hd_iters, t_c, alive_e, used, escaped, d_prev, d_cur = cone_march(
-            (jnp.int32(0), t0, alive0, used0, escaped0, d0, d0),
-            o, c, tt, tx, head)
+        if head_steps is not None and k_cone > 1:
+            # With no chunked tail (k_cone <= 1) a head override of 0
+            # would skip the stage's march entirely — the full-width
+            # head IS the march there, so the override only applies when
+            # the tail machinery exists to pick the work up.
+            head = min(int(head_steps), budget)
+        if head > 0:
+            hd_iters, t_c, alive_e, used, escaped, d_prev, d_cur = \
+                cone_march(
+                    (jnp.int32(0), t0, alive0, used0, escaped0, d0, d0),
+                    o, c, tt, tx, head)
+        else:
+            hd_iters = jnp.int32(0)
+            t_c, alive_e, used, escaped = t0, alive0, used0, escaped0
+            d_prev = d_cur = d0
         st = {"head_iters": hd_iters, "head_width": t_c.shape[0]}
         if stats is not None:
             stats.setdefault("cone_stages", []).append(st)
@@ -782,8 +802,13 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
             return jnp.pad(x, cfg, constant_values=fill)
 
         alive_f = flat_pad(alive_e, False)
-        decay = flat_pad(d_prev - d_cur, 0.0)
-        est = flat_pad(d_cur, 0.0) / jnp.maximum(decay, eps)
+        if head > 0:
+            decay = flat_pad(d_prev - d_cur, 0.0)
+            est = flat_pad(d_cur, 0.0) / jnp.maximum(decay, eps)
+        elif sort_key0 is not None:
+            est = -flat_pad(jnp.asarray(sort_key0, jnp.float32), 0.0)
+        else:
+            est = flat_pad(t_c * 0.0, 0.0)
         key = jnp.where(alive_f, est, jnp.float32(3e30))
         order = jnp.argsort(key, stable=True)
         arrs = [flat_pad(t_c, 0.0), alive_f, flat_pad(used, 0.0),
@@ -818,11 +843,15 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
                 unsort(us_o, used.dtype), unsort(es_o, jnp.bool_))
 
     flat = lambda x: x.reshape((hc * wc,) + x.shape[2:])  # noqa: E731
-    zeros_f = jnp.zeros(hc * wc, jnp.float32)
+    # Derive the zero carries from the (possibly shard-varying) geometry
+    # so the while_loop carry types match the body outputs under
+    # shard_map's check_vma (the sharded pixel renderer runs this prepass
+    # per shard on a row-sliced camera).
+    zeros_f = flat(t_start) * 0.0
     t_cone, alive_end, used, escaped = run_stage(
         flat(origins), flat(center), flat(tan_t), flat(t_exit_c),
         flat(t_start), flat(hits_c & (t_start < t_exit_c)), zeros_f,
-        jnp.zeros(hc * wc, bool))
+        zeros_f < -1.0)
     hits_b = flat(hits_c)
     valid_from = jnp.where(hits_b, flat(t_start), jnp.float32(jnp.inf))
     out_f = f
@@ -872,9 +901,19 @@ def _cone_prepass(sdf: SignedDistanceField, camera: PinholeCamera,
         t0_2 = jnp.maximum(t_p, 0.0)
         alive2 = (flat2(hits2) & hits_p & ~esc_p
                   & (t0_2 < flat2(t_ex2)))
+        # head_steps=0 + the parent's slowness as the sort key: children
+        # jump straight into the compacted chunked tail, so children of
+        # escaped parents (dead at birth) and fast-reconverging children
+        # never occupy full-width lanes. The round-4 "cone_refine is a
+        # net -4.4 ms" measurement came from the 8 full-width child head
+        # steps this removes; per-child sample sequences are unchanged
+        # for any chunking, so certificates still compose exactly.
+        parent_slow = up(used + jnp.where(alive_end, jnp.float32(budget),
+                                          0.0))
         t_cone, alive_end, used, escaped = run_stage(
             flat2(origins2), flat2(center2), flat2(tan2), flat2(t_ex2),
-            t0_2, alive2, up(used), esc_p)
+            t0_2, alive2, up(used), esc_p,
+            head_steps=0, sort_key0=parent_slow)
         hits_b = hits_p
         valid_from = up(valid_from)
         out_f = rf

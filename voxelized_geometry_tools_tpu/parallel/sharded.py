@@ -406,27 +406,39 @@ def sharded_render_depth(sdf: SignedDistanceField,
     block_layout_ok = bool(
         coarse_factor
         and camera.height % (coarse_factor * n_shards) == 0)
+    prepass_inside = False
     if coarse_factor:
         if camera.width % coarse_factor or camera.height % coarse_factor:
             raise ValueError(
                 f"coarse_factor={coarse_factor} must divide the image "
                 f"dimensions {camera.width}x{camera.height}")
-        # The cone prepass is tiny (rays / factor^2) — run it replicated
-        # and shard the resulting per-pixel start depths with the rays.
-        # Outputs are control data (ops/render.py): stop_gradient'ed.
         thresh = 0.25 * sdf.resolution
-        t_init, t_valid_from, cone_slow, cert_miss = \
-            render_ops._cone_prepass(
-                sdf, camera, coarse_factor, num_steps, thresh, max_depth,
-                corner_table, max_cone_steps=cone_steps,
-                cone_tail_chunks=cone_tail_chunks)
-        t_init = jax.lax.stop_gradient(t_init)
-        t_valid_from = jax.lax.stop_gradient(t_valid_from)
-        cert_miss = jax.lax.stop_gradient(cert_miss)
-        if head_steps == 0:
-            sort_key = jax.lax.stop_gradient(cone_slow)
+        if block_layout_ok:
+            # Shard the prepass WITH the rays: cones are f x f pixel
+            # blocks, so a shard owning whole block rows runs the prepass
+            # on a row-sliced camera (same pose/focal, cy shifted by its
+            # first row) — the per-block math is bitwise the full
+            # camera's, so certificates are identical while the prepass
+            # cost divides by the mesh instead of replicating (the
+            # replicated form capped projected 8-chip efficiency at ~50%
+            # for cone-heavy schedules — BASELINE.md scaling model).
+            prepass_inside = True
         else:
-            cert_miss = cert_miss if early_exit else None
+            # Fallback (f | H but not f | H/n_shards): replicated prepass,
+            # outputs sharded with the rays. Control data:
+            # stop_gradient'ed (ops/render.py).
+            t_init, t_valid_from, cone_slow, cert_miss = \
+                render_ops._cone_prepass(
+                    sdf, camera, coarse_factor, num_steps, thresh,
+                    max_depth, corner_table, max_cone_steps=cone_steps,
+                    cone_tail_chunks=cone_tail_chunks)
+            t_init = jax.lax.stop_gradient(t_init)
+            t_valid_from = jax.lax.stop_gradient(t_valid_from)
+            cert_miss = jax.lax.stop_gradient(cert_miss)
+            if head_steps == 0:
+                sort_key = jax.lax.stop_gradient(cone_slow)
+            else:
+                cert_miss = cert_miss if early_exit else None
 
     table_rows = corner_table.rows if corner_table is not None else None
     # Static table kind (both kinds are 8-lane rows since the pair table
@@ -443,6 +455,30 @@ def sharded_render_depth(sdf: SignedDistanceField,
         table = None
         if rows is not None:
             table = table_cls(rows=rows)
+        if prepass_inside:
+            # Row-sliced camera: rows [row0, row0 + lh) of the full
+            # camera — (v - (cy - row0)) == ((v + row0) - cy), so ray and
+            # cone-block math is bitwise the full camera's.
+            lh = camera.height // n_shards
+            row0 = (lax.axis_index(axis_name) * lh).astype(jnp.float32)
+            cam_local = render_ops.PinholeCamera(
+                pose=camera.pose, fx=camera.fx, fy=camera.fy,
+                cx=camera.cx, cy=camera.cy - row0,
+                width=camera.width, height=lh)
+            thresh_l = 0.25 * sdf.resolution
+            local_t_init, local_t_valid, cone_slow_l, local_cert_miss = \
+                render_ops._cone_prepass(
+                    local_sdf, cam_local, coarse_factor, num_steps,
+                    thresh_l, max_depth, table,
+                    max_cone_steps=cone_steps,
+                    cone_tail_chunks=cone_tail_chunks)
+            local_t_init = lax.stop_gradient(local_t_init)
+            local_t_valid = lax.stop_gradient(local_t_valid)
+            local_cert_miss = lax.stop_gradient(local_cert_miss)
+            if head_steps == 0:
+                local_sort_key = lax.stop_gradient(cone_slow_l)
+            elif not early_exit:
+                local_cert_miss = None
         trace_kwargs = {}
         reshape_back = None
         if (block_layout_ok
