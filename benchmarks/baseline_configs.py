@@ -5,6 +5,9 @@ line per config. Not the driver benchmark (that is bench.py at the repo
 root — ONE JSON line); this script populates BASELINE.md's results table.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import dataclasses
 import time
 

@@ -11,6 +11,9 @@ BASELINE.md.
 Run on the real chip: ``python benchmarks/carve_oblique.py``.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import dataclasses
 import json
 import time

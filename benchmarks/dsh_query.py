@@ -15,6 +15,9 @@ JAX_PLATFORMS env var hangs at interpreter startup when the TPU tunnel is
 down).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import json
 import os
 import sys

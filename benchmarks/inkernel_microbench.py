@@ -22,6 +22,9 @@ XLA scatter-add ~10 ns per 512-byte row.
 Run on the real chip: ``python benchmarks/inkernel_microbench.py``.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import functools
 import json
 import time

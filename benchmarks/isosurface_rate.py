@@ -7,6 +7,9 @@ and triangles/s, plus the host-side weld cost. Run on the real chip:
 smoke-tests on the CPU backend.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import json
 import os
 import sys

@@ -10,6 +10,9 @@ BASELINE.md.
 Run on the real chip: ``python benchmarks/large_grid.py [n ...]``.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import json
 import sys
 import time

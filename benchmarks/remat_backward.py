@@ -12,6 +12,9 @@ This measures value+grad wall time for both paths at the bench scene
 inside the loss) and prints one JSON line. Run on the real chip.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import json
 import os
 import sys

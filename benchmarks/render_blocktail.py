@@ -12,6 +12,9 @@ cone's own march slowness and never marches certified-miss rays at all.
 Run on the real chip.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import argparse
 import json
 import os

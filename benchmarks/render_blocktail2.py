@@ -10,6 +10,9 @@ rays retired by the escape certificate, mean certified advance) from the
 prepass outputs, so BASELINE.md can record where the win comes from.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import argparse
 import json
 import os

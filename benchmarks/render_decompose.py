@@ -15,6 +15,9 @@ so the sum exceeding `full` is expected; the signal is each phase's share.
 Run on the real chip: ``python benchmarks/render_decompose.py``.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import json
 import time
 

@@ -7,6 +7,9 @@ convergence sort no longer needs the 2 full-width fine head steps
 640x480) across schedules. Run on the real chip.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import json
 import time
 

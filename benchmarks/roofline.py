@@ -11,6 +11,9 @@ Run on the real chip: ``python benchmarks/roofline.py``. One table, plus a
 JSON line for machines.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import json
 import time
 
@@ -66,6 +69,26 @@ def main():
     t = _timeit(stream_fn, big)
     stream_bw = 2 * big.size * 4 / t  # read + write
     rows.append(("HBM stream GB/s", stream_bw / 1e9, stream_bw / 1e9, 1.0))
+
+    # 4. VPU f32 min-plus rate — the EDT envelope's primitive: one
+    # candidate evaluation is sub + mul + add + min with a serial
+    # dependence through the running minimum (exactly the pattern of
+    # kernels/edt_pallas proc_chunk). Compute-bound by construction:
+    # 8 MB resident, 256 chained evaluations per element.
+    blk = jnp.asarray(rng.standard_normal((32, 65536)), jnp.float32)
+
+    def minplus(x):
+        d = jnp.full_like(x, jnp.inf)
+        q = x * 0.5
+        for u in range(256):
+            delta = q - jnp.float32(u)
+            d = jnp.minimum(d, delta * delta + x)
+        return d
+
+    t = _timeit(jax.jit(minplus), blk)
+    vpu_evals = blk.size * 256 / t
+    rows.append(("VPU min-plus candidate evals/s (EDT envelope primitive)",
+                 vpu_evals, vpu_evals, 1.0))
 
     # --- Hot ops vs their binding limit ---------------------------------
     N = 512

@@ -10,6 +10,9 @@ vs the plain single-chip path). Run:
   TPU 1-chip mesh:   python benchmarks/sharded_rates.py tpu
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from anywhere
+
 import dataclasses
 import json
 import sys

@@ -35,8 +35,11 @@ def pytest_collection_modifyitems(config, items):
 
     The default lane skips @pytest.mark.slow tests — the handful of
     >20-second virtual-8-device-mesh renders and large-scene contracts —
-    keeping it under ~15 minutes while still exercising every module
-    (each slow test has faster siblings covering the same code paths).
+    keeping it under 15 minutes (14m25s measured round 5 on this host,
+    after jitting the heavy eager shard_map/render tests; pytest-xdist
+    is pointless here — the host has ONE core) while still exercising
+    every module (each slow test has faster siblings covering the same
+    code paths).
     CI-style full runs: ``pytest --runslow`` or ``VGT_FULL_SUITE=1``.
     Skipped tests are reported as skips, never silently deselected.
     """

@@ -220,6 +220,16 @@ def test_chunked_tail_scatter_roundtrip(sphere_sdf, corner_table):
                                np.asarray(whole.depth), atol=1e-5)
 
 
+def _jrender(sdf, cam, **kw):
+    """Jitted render_depth for the heavy contract tests: eager lax
+    while_loops re-trace per call, so the 96-128-step schedule-contract
+    tests each burned 10-30 s of dispatch; one jit per schedule caches.
+    Bitwise-INVARIANCE tests stay eager on purpose — XLA may fuse two
+    different schedules' programs differently (ulp drift), which would
+    make a bitwise assert flaky without weakening the eager contract."""
+    return jax.jit(lambda: render.render_depth(sdf, cam, **kw))()
+
+
 def _check_cone_equiv(base, cone, sdf):
     """Equivalence contract for a WORKING cone prepass.
 
@@ -272,11 +282,11 @@ def test_cone_prepass_equivalence(sphere_sdf, corner_table, factor):
     convergence threshold; with a generous budget the hit masks are
     identical (see _check_cone_equiv for the contract)."""
     cam = _camera(sphere_sdf, w=48, h=32)
-    base = render.render_depth(sphere_sdf, cam, num_steps=128,
-                               corner_table=corner_table, early_exit=True)
-    cone = render.render_depth(sphere_sdf, cam, num_steps=128,
-                               corner_table=corner_table, early_exit=True,
-                               coarse_factor=factor)
+    base = _jrender(sphere_sdf, cam, num_steps=128,
+                    corner_table=corner_table, early_exit=True)
+    cone = _jrender(sphere_sdf, cam, num_steps=128,
+                    corner_table=corner_table, early_exit=True,
+                    coarse_factor=factor)
     _check_cone_equiv(base, cone, sphere_sdf)
     # Budget 128 is generous for a 40-voxel grid: both marches converge
     # everywhere a surface exists, so the masks must be identical.
@@ -293,13 +303,13 @@ def test_cone_refine_equivalence_and_deeper_certificates(sphere_sdf,
     certificates (that is the knob's entire point; measured on the 40^3
     scene: retired fraction 0.185 -> 0.292 at refine=4)."""
     cam = _camera(sphere_sdf, w=48, h=32)
-    base = render.render_depth(sphere_sdf, cam, num_steps=128,
-                               corner_table=corner_table, early_exit=True)
-    refined = render.render_depth(sphere_sdf, cam, num_steps=128,
-                                  corner_table=corner_table,
-                                  early_exit=True, coarse_factor=8,
-                                  head_steps=0, tail_chunks=8,
-                                  cone_refine=4)
+    base = _jrender(sphere_sdf, cam, num_steps=128,
+                    corner_table=corner_table, early_exit=True)
+    refined = _jrender(sphere_sdf, cam, num_steps=128,
+                       corner_table=corner_table,
+                       early_exit=True, coarse_factor=8,
+                       head_steps=0, tail_chunks=8,
+                       cone_refine=4)
     _check_cone_equiv(base, refined, sphere_sdf)
 
     thresh = 0.25 * sphere_sdf.resolution
@@ -364,11 +374,11 @@ def test_cone_prepass_distant_oblique_camera(sphere_sdf, corner_table,
     pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = (
         right, down, fwd, eye)
     cam = render.PinholeCamera.create(pose, 48, 32, focal=1500.0)
-    base = render.render_depth(sphere_sdf, cam, num_steps=96,
-                               corner_table=corner_table, early_exit=True)
-    cone = render.render_depth(sphere_sdf, cam, num_steps=96,
-                               corner_table=corner_table, early_exit=True,
-                               coarse_factor=factor)
+    base = _jrender(sphere_sdf, cam, num_steps=96,
+                    corner_table=corner_table, early_exit=True)
+    cone = _jrender(sphere_sdf, cam, num_steps=96,
+                    corner_table=corner_table, early_exit=True,
+                    coarse_factor=factor)
     _check_cone_equiv(base, cone, sphere_sdf)
     np.testing.assert_array_equal(np.asarray(base.hit), np.asarray(cone.hit))
 
@@ -378,12 +388,12 @@ def test_cone_prepass_headless_tail(sphere_sdf, corner_table):
     fine steps at all — still no surface skipped, converged depths within
     the convergence-threshold contract."""
     cam = _camera(sphere_sdf, w=48, h=32)
-    base = render.render_depth(sphere_sdf, cam, num_steps=128,
-                               corner_table=corner_table, early_exit=True)
-    headless = render.render_depth(sphere_sdf, cam, num_steps=128,
-                                   corner_table=corner_table,
-                                   early_exit=True, coarse_factor=4,
-                                   head_steps=0, tail_chunks=8)
+    base = _jrender(sphere_sdf, cam, num_steps=128,
+                    corner_table=corner_table, early_exit=True)
+    headless = _jrender(sphere_sdf, cam, num_steps=128,
+                        corner_table=corner_table,
+                        early_exit=True, coarse_factor=4,
+                        head_steps=0, tail_chunks=8)
     _check_cone_equiv(base, headless, sphere_sdf)
     np.testing.assert_array_equal(np.asarray(base.hit),
                                   np.asarray(headless.hit))
@@ -516,12 +526,12 @@ def test_block_tail_miss_certificate(sphere_sdf, corner_table):
     pose[:3, 3] = sizes / 2.0 - np.array([0.0, 0.0, 2.5 * sizes[2]])
     cam = render.PinholeCamera.create(pose, 64, 48, focal=30.0)
 
-    base = render.render_depth(sphere_sdf, cam, num_steps=128,
-                               corner_table=corner_table, early_exit=True)
-    blocked = render.render_depth(sphere_sdf, cam, num_steps=128,
-                                  corner_table=corner_table, early_exit=True,
-                                  coarse_factor=4, head_steps=0,
-                                  tail_chunks=8)
+    base = _jrender(sphere_sdf, cam, num_steps=128,
+                    corner_table=corner_table, early_exit=True)
+    blocked = _jrender(sphere_sdf, cam, num_steps=128,
+                       corner_table=corner_table, early_exit=True,
+                       coarse_factor=4, head_steps=0,
+                       tail_chunks=8)
     _check_cone_equiv(base, blocked, sphere_sdf)
     np.testing.assert_array_equal(np.asarray(base.hit),
                                   np.asarray(blocked.hit))
@@ -538,13 +548,13 @@ def test_block_tail_cone_steps_budget(sphere_sdf, corner_table):
     """cone_steps budget composes with the block-tail schedule: shallower
     certified starts (fewer escapes) stay exact."""
     cam = _camera(sphere_sdf, w=64, h=48)
-    base = render.render_depth(sphere_sdf, cam, num_steps=128,
-                               corner_table=corner_table, early_exit=True)
+    base = _jrender(sphere_sdf, cam, num_steps=128,
+                    corner_table=corner_table, early_exit=True)
     for cs in (4, 12):
-        r = render.render_depth(sphere_sdf, cam, num_steps=128,
-                                corner_table=corner_table, early_exit=True,
-                                coarse_factor=4, head_steps=0,
-                                tail_chunks=8, cone_steps=cs)
+        r = _jrender(sphere_sdf, cam, num_steps=128,
+                     corner_table=corner_table, early_exit=True,
+                     coarse_factor=4, head_steps=0,
+                     tail_chunks=8, cone_steps=cs)
         _check_cone_equiv(base, r, sphere_sdf)
         np.testing.assert_array_equal(np.asarray(base.hit),
                                       np.asarray(r.hit))

@@ -25,8 +25,9 @@ def test_sharded_edt_matches_single_device(mesh8):
     rng = np.random.default_rng(17)
     seed = rng.random((16, 8, 24)) < 0.15
     seed[3, 3, 3] = True
-    single = np.asarray(edt.squared_edt(jnp.asarray(seed)))
-    multi = np.asarray(sharded.sharded_squared_edt(jnp.asarray(seed), mesh8))
+    single = np.asarray(jax.jit(edt.squared_edt)(jnp.asarray(seed)))
+    multi = np.asarray(jax.jit(lambda m: sharded.sharded_squared_edt(
+        m, mesh8))(jnp.asarray(seed)))
     np.testing.assert_array_equal(single, multi)
 
 
@@ -34,9 +35,10 @@ def test_sharded_sdf_matches_single_device(mesh8):
     rng = np.random.default_rng(23)
     occ = (rng.random((8, 8, 16)) < 0.2).astype(np.float32)
     spec = GridSpec.from_voxel_counts(0.25, occ.shape)
-    single = edt.extract_sdf_from_occupancy(jnp.asarray(occ), spec, None)
-    multi = sharded.sharded_extract_sdf(jnp.asarray(occ), spec,
-                                        jnp.eye(4), mesh8)
+    single = jax.jit(lambda o: edt.extract_sdf_from_occupancy(
+        o, spec, None))(jnp.asarray(occ))
+    multi = jax.jit(lambda o: sharded.sharded_extract_sdf(
+        o, spec, jnp.eye(4), mesh8))(jnp.asarray(occ))
     np.testing.assert_array_equal(np.asarray(single.distances),
                                   np.asarray(multi.distances))
 
@@ -48,8 +50,13 @@ def test_sharded_carve_matches_single_device(mesh8):
     pts = rng.uniform(-1.5, 1.5, size=(333, 3)).astype(np.float32)
     cloud = voxelize.PointCloud.create(pts, np.eye(4, dtype=np.float32))
 
-    single = voxelize.raycast_pointcloud(spec, origin, cloud)
-    multi = sharded.sharded_raycast_pointcloud(spec, origin, cloud, mesh8)
+    # jit both sides: shard_map outside jit executes op-by-op eagerly
+    # (module docstring) - this test read 46 s of pure dispatch overhead
+    # on the virtual mesh before it was jitted.
+    single = jax.jit(lambda c: voxelize.raycast_pointcloud(
+        spec, origin, c))(cloud)
+    multi = jax.jit(lambda c: sharded.sharded_raycast_pointcloud(
+        spec, origin, c, mesh8))(cloud)
     np.testing.assert_array_equal(np.asarray(single.seen_free),
                                   np.asarray(multi.seen_free))
     np.testing.assert_array_equal(np.asarray(single.seen_filled),
@@ -306,10 +313,12 @@ def test_sharded_carve_reduce_scatter_matches(mesh8):
     pose[:3, 3] = (2.0, 2.0, -1.0)
     pts = rng.uniform(-1.0, 5.0, (1500, 3)).astype(np.float32)
     cloud = voxelize.PointCloud.create(pts, pose, max_range=8.0)
-    single = voxelize.raycast_pointcloud(spec, jnp.eye(4), cloud)
+    single = jax.jit(lambda c: voxelize.raycast_pointcloud(
+        spec, jnp.eye(4), c))(cloud)
     for ra in (2, "split"):
-        sc = sharded.sharded_raycast_pointcloud(
-            spec, jnp.eye(4), cloud, mesh8, run_axis=ra, reduce="scatter")
+        sc = jax.jit(lambda c, ra=ra: sharded.sharded_raycast_pointcloud(
+            spec, jnp.eye(4), c, mesh8, run_axis=ra,
+            reduce="scatter"))(cloud)
         np.testing.assert_array_equal(np.asarray(single.seen_free),
                                       np.asarray(sc.seen_free))
         np.testing.assert_array_equal(np.asarray(single.seen_filled),
@@ -333,8 +342,13 @@ def test_sharded_voxelize_slab_pipeline_matches(mesh8):
         max_range=8.0) for _ in range(2)]
     env = OccupancyMap.create(spec, default_occupancy=0.5)
     opts = voxelize.FilterOptions(0.5, 1, 1)
-    single = voxelize.voxelize_pointclouds(env, opts, clouds)
-    multi = sharded.sharded_voxelize_pointclouds(env, opts, clouds, mesh8)
+    # run_axis=2 keeps the pipeline jittable (the eager 'auto' probe is
+    # covered by test_sharded_carve_run_axis_auto_eager); un-jitted this
+    # test read 103 s of eager shard_map dispatch.
+    single = jax.jit(lambda cs: voxelize.voxelize_pointclouds(
+        env, opts, cs))(clouds)
+    multi = jax.jit(lambda cs: sharded.sharded_voxelize_pointclouds(
+        env, opts, cs, mesh8, run_axis=2))(clouds)
     np.testing.assert_array_equal(np.asarray(single.occupancy),
                                   np.asarray(multi.occupancy))
 
