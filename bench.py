@@ -54,6 +54,12 @@ def _force(x):
 
 def main():
     import jax
+    # Persistent compile cache: first compiles through the tunnel are
+    # service-load dependent (7-300 s per program; a cold full bench has
+    # taken >14 min) — cache them so re-runs on the same host start hot.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from voxelized_geometry_tools_tpu import GridSpec
     from voxelized_geometry_tools_tpu.ops import edt, render, sdf_query
