@@ -73,16 +73,21 @@ def main():
     options = voxelize.FilterOptions(1.0, 1, 1)
 
     # --- 1. Ray-sharded carving + fusion ---------------------------------
-    fused = sharded.sharded_voxelize_pointclouds(env, options, clouds, mesh)
+    # Everything below runs under jax.jit: shard_map invoked OUTSIDE jit
+    # executes the mapped computation op by op eagerly — measured 80x
+    # slower through a remote runtime, and minutes of per-op dispatch
+    # even on the virtual CPU mesh (parallel/sharded.py module docstring).
+    fused = jax.jit(lambda cs: sharded.sharded_voxelize_pointclouds(
+        env, options, cs, mesh, run_axis=2))(clouds)
     occ = np.asarray(fused.occupancy)
     print(f"carved over {n_dev} ray shards: "
           f"{int((occ == 1.0).sum())} filled / {int((occ == 0.0).sum())} "
           f"free / {int((occ == 0.5).sum())} unknown")
 
     # --- 2. Z-slab-sharded EDT -------------------------------------------
-    sdf = sharded.sharded_extract_sdf(fused.occupancy, spec,
-                                      fused.origin_transform, mesh,
-                                      frame="world")
+    sdf = jax.jit(lambda o, tr: sharded.sharded_extract_sdf(
+        o, spec, tr, mesh, frame="world"))(fused.occupancy,
+                                           fused.origin_transform)
     single = edt.extract_sdf_from_occupancy(fused.occupancy, spec,
                                             fused.origin_transform)
     same = bool(jnp.array_equal(sdf.distances, single.distances))
@@ -94,8 +99,9 @@ def main():
     cam_pose[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]],
                                 np.float32)
     camera = render.PinholeCamera.create(cam_pose, 64, 48, focal=60.0)
-    depth_img = sharded.sharded_render_depth(sdf, camera, mesh,
-                                             num_steps=48)
+    depth_img = jax.jit(lambda d: sharded.sharded_render_depth(
+        sdf.replace(distances=d), camera, mesh, num_steps=48))(
+            sdf.distances)
     hits = np.asarray(depth_img) < 99.0
     print(f"rendered {hits.sum()} / {hits.size} hit pixels over "
           f"{n_dev} pixel shards")
@@ -108,9 +114,9 @@ def main():
     # serializing. Depths are schedule-independent — identical to the
     # pixel-sharded render for any (grid_axis, steps_per_exchange,
     # ray_chunks).
-    depth_gs = sharded.sharded_render_depth_grid_sharded(
-        sdf, camera, mesh, num_steps=48, grid_axis=0,
-        steps_per_exchange=32, ray_chunks=16)
+    depth_gs = jax.jit(lambda d: sharded.sharded_render_depth_grid_sharded(
+        sdf.replace(distances=d), camera, mesh, num_steps=48, grid_axis=0,
+        steps_per_exchange=32, ray_chunks=16))(sdf.distances)
     same_render = bool(np.allclose(np.asarray(depth_img),
                                    np.asarray(depth_gs), atol=1e-4))
     print(f"grid-sharded render == pixel-sharded render: {same_render}")
