@@ -98,7 +98,7 @@ def main():
             sdf.replace(distances=d), mesh, grid_axis=0))(sdf.distances)
         F(rows)
         tb = timeit(jax.jit(lambda d: sharded.sharded_build_corner_table(
-            sdf.replace(distances=d), mesh, grid_axis=0).ravel()[:1]),
+            sdf.replace(distances=d), mesh, grid_axis=0).rows.ravel()[:1]),
             sdf.distances, iters=3)
         results["512_slab_table_build_ms"] = tb * 1e3
         print(f"512^3 slab table build: {tb*1e3:.1f} ms", flush=True)

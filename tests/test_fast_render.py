@@ -220,14 +220,26 @@ def test_chunked_tail_scatter_roundtrip(sphere_sdf, corner_table):
                                np.asarray(whole.depth), atol=1e-5)
 
 
-def _jrender(sdf, cam, **kw):
+_JRENDER_CACHE = {}
+
+
+def _jrender(sdf, cam, corner_table=None, **kw):
     """Jitted render_depth for the heavy contract tests: eager lax
     while_loops re-trace per call, so the 96-128-step schedule-contract
-    tests each burned 10-30 s of dispatch; one jit per schedule caches.
-    Bitwise-INVARIANCE tests stay eager on purpose — XLA may fuse two
-    different schedules' programs differently (ulp drift), which would
-    make a bitwise assert flaky without weakening the eager contract."""
-    return jax.jit(lambda: render.render_depth(sdf, cam, **kw))()
+    tests each burned 10-30 s of dispatch. One wrapper per SCHEDULE is
+    cached here (a fresh jit-of-lambda per call would never hit jax's
+    own cache — it keys on the wrapper object); sdf/cam/table pass as
+    traced args so jit's cache handles shape changes. Bitwise-INVARIANCE
+    tests stay eager on purpose — XLA may fuse two different schedules'
+    programs differently (ulp drift), which would make a bitwise assert
+    flaky without weakening the eager contract."""
+    key = tuple(sorted(kw.items()))
+    fn = _JRENDER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda s, c, t, kw=kw: render.render_depth(
+            s, c, corner_table=t, **kw))
+        _JRENDER_CACHE[key] = fn
+    return fn(sdf, cam, corner_table)
 
 
 def _check_cone_equiv(base, cone, sdf):
@@ -592,3 +604,34 @@ def test_mip_skip_grazing_band():
         m = bh & fh
         dd = np.abs(np.asarray(base.depth)[m] - np.asarray(fast.depth)[m])
         assert float(dd.max()) <= 2 * thresh + 1e-5
+
+
+def test_with_stats_is_bitwise_free_and_counts_rows(sphere_sdf,
+                                                    corner_table):
+    """The roofline-audit surface (round-5): with_stats=True must be a
+    pure observer — counters ride existing loop carries, so the result
+    agrees with the default path to the ulp (the extra outputs can shift
+    XLA fusion, so bitwise is compilation-dependent, not contractual) —
+    and gather_rows_from_stats must account every phase (at least one
+    row per final sample plus the cone/tail work)."""
+    cam = _camera(sphere_sdf, w=48, h=32)
+    kw = dict(num_steps=64, corner_table=corner_table, early_exit=True,
+              coarse_factor=8, head_steps=0, tail_chunks=8, cone_steps=32,
+              cone_tail_chunks=4)
+    plain = jax.jit(lambda: render.render_depth(sphere_sdf, cam,
+                                                **kw).depth)()
+    result, stats = jax.jit(lambda: render.render_depth(
+        sphere_sdf, cam, with_stats=True, **kw))()
+    np.testing.assert_allclose(np.asarray(plain),
+                                np.asarray(result.depth), atol=1e-5)
+    stats = jax.tree.map(np.asarray, stats)
+    rows = render.gather_rows_from_stats(stats)
+    n_rays = 48 * 32
+    assert rows > n_rays  # final sample alone is one row per ray
+    assert stats["final_sample_rows"] == n_rays
+    cone = stats["cone_stages"][0]
+    assert int(cone["head_iters"]) > 0  # the prepass actually marched
+    assert (stats["fine_tail_iters"] >= 0).all()
+    # The 8-gather (no corner table) march costs 8 rows per sample.
+    rows8 = render.gather_rows_from_stats(stats, gathers_per_sample=8.0)
+    assert rows8 > rows

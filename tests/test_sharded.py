@@ -452,3 +452,25 @@ def test_grid_sharded_cone_prepass_contract(mesh8):
         coarse_factor=8, head_steps=0, tail_chunks=8, cone_steps=16,
         cone_tail_chunks=4)
     np.testing.assert_array_equal(np.asarray(single_cone.hit), cone_hit)
+
+
+def test_grid_sharded_slab_table_guards(mesh8):
+    """A slab table is axis-tagged (SlabCornerTable): rows built along one
+    axis have the same shape as any other axis's on a cubic grid, so an
+    untagged mix-up would render silent garbage — the renderer must
+    reject both an axis mismatch and an untagged raw array."""
+    spec = GridSpec.from_voxel_counts(0.25, (16, 16, 16))
+    filled = np.zeros(spec.counts, bool)
+    filled[6:10, 6:10, 6:10] = True
+    sdf = edt.extract_signed_distance_field(filled, spec, None)
+    pose = transforms.isometry_from_translation((2.0, 2.0, -3.0))
+    camera = render.PinholeCamera.create(pose, width=24, height=16,
+                                         focal=20.0)
+    table = sharded.sharded_build_corner_table(sdf, mesh8, grid_axis=0)
+    assert table.grid_axis == 0
+    with pytest.raises(ValueError, match="grid_axis"):
+        sharded.sharded_render_depth_grid_sharded(
+            sdf, camera, mesh8, grid_axis=2, corner_rows=table)
+    with pytest.raises(TypeError, match="SlabCornerTable"):
+        sharded.sharded_render_depth_grid_sharded(
+            sdf, camera, mesh8, grid_axis=0, corner_rows=table.rows)

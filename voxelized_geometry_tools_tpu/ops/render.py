@@ -253,7 +253,9 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
       per lane of its phase width, so ``sum(iters * width)`` is the
       frame's gather-row count — the auditable input to the HBM-roofline
       fraction (round-4 VERDICT #1). Counters ride the existing loop
-      carries; the default path's compiled program is unchanged.
+      carries — no extra work per iteration; the extra OUTPUTS can shift
+      XLA fusion, so results agree with the default path to the ulp
+      rather than bitwise.
     """
     if surface_threshold is None:
         surface_threshold = 0.25 * sdf.resolution

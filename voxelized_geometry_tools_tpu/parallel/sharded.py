@@ -465,11 +465,10 @@ def sharded_render_depth(sdf: SignedDistanceField,
                 pose=camera.pose, fx=camera.fx, fy=camera.fy,
                 cx=camera.cx, cy=camera.cy - row0,
                 width=camera.width, height=lh)
-            thresh_l = 0.25 * sdf.resolution
             local_t_init, local_t_valid, cone_slow_l, local_cert_miss = \
                 render_ops._cone_prepass(
                     local_sdf, cam_local, coarse_factor, num_steps,
-                    thresh_l, max_depth, table,
+                    thresh, max_depth, table,
                     max_cone_steps=cone_steps,
                     cone_tail_chunks=cone_tail_chunks)
             local_t_init = lax.stop_gradient(local_t_init)
@@ -543,9 +542,28 @@ def sharded_render_depth(sdf: SignedDistanceField,
     return mapped(args)
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabCornerTable:
+    """Slab-local corner rows + the grid axis they were built along.
+
+    The rows' shape is axis-independent on cubic grids, so an untagged
+    array built along one axis and rendered along another would silently
+    produce garbage depths — the tag lets the renderer reject the
+    mismatch (round-5 review finding #2)."""
+    rows: Array  # f32 [n_cells, 8], sharded P(axis_name) on axis 0
+    grid_axis: int = dataclasses.field(metadata=dict(static=True))
+
+
+SlabCornerTable = jax.tree_util.register_dataclass(
+    SlabCornerTable, data_fields=["rows"], meta_fields=["grid_axis"])
+
+
 def sharded_build_corner_table(sdf: SignedDistanceField, mesh: Mesh,
                                axis_name: str = "z",
-                               grid_axis: int = 2) -> Array:
+                               grid_axis: int = 2) -> SlabCornerTable:
     """Slab-local corner-brick rows for
     :func:`sharded_render_depth_grid_sharded` — the grid-sharded analogue
     of :func:`...ops.sdf_query.build_corner_table` (round-4 VERDICT #2:
@@ -565,9 +583,10 @@ def sharded_build_corner_table(sdf: SignedDistanceField, mesh: Mesh,
     built from the WRAPPED halo and is garbage by construction — base
     cells clamp to ``n_ax - 2`` globally, so it is never gathered.
 
-    Returns the rows as one ``[n_cells, 8]`` array sharded
-    ``P(axis_name)`` on axis 0 — pass it to the renderer's
-    ``corner_rows``. Call under ``jax.jit``."""
+    Returns a :class:`SlabCornerTable` whose rows are one
+    ``[n_cells, 8]`` array sharded ``P(axis_name)`` on axis 0 — pass it
+    to the renderer's ``corner_rows`` (which checks the ``grid_axis``
+    tag). Call under ``jax.jit``."""
     from ..ops.sdf_query import _pull_to_surface
 
     spec = sdf.spec
@@ -622,7 +641,7 @@ def sharded_build_corner_table(sdf: SignedDistanceField, mesh: Mesh,
     in_spec[ax] = axis_name
     fn = shard_map(local_build, mesh=mesh, in_specs=P(*in_spec),
                    out_specs=P(axis_name))
-    return fn(sdf.distances)
+    return SlabCornerTable(rows=fn(sdf.distances), grid_axis=ax)
 
 
 def sharded_render_depth_grid_sharded(
@@ -633,7 +652,7 @@ def sharded_render_depth_grid_sharded(
         steps_per_exchange: int = 8,
         grid_axis: int = 2,
         ray_chunks: int = 16,
-        corner_rows: Optional[Array] = None,
+        corner_rows: Optional["SlabCornerTable"] = None,
         coarse_factor: int = 0,
         cone_steps: Optional[int] = None,
         cone_tail_chunks: int = 1) -> Array:
@@ -750,6 +769,23 @@ def sharded_render_depth_grid_sharded(
             raise ValueError(
                 f"coarse_factor={coarse_factor} must divide the image "
                 f"dimensions {camera.width}x{camera.height}")
+    if corner_rows is not None:
+        if not isinstance(corner_rows, SlabCornerTable):
+            raise TypeError(
+                "corner_rows must be a SlabCornerTable from "
+                "sharded_build_corner_table (the grid_axis tag is what "
+                "catches an axis mismatch — raw rows built along one "
+                "axis render silent garbage along another)")
+        if corner_rows.grid_axis != ax:
+            raise ValueError(
+                f"corner_rows was built with grid_axis="
+                f"{corner_rows.grid_axis} but the render shards along "
+                f"grid_axis={ax}")
+        n_cells = counts[0] * counts[1] * counts[2]
+        if tuple(corner_rows.rows.shape) != (n_cells, 8):
+            raise ValueError(
+                f"corner_rows.rows shape {tuple(corner_rows.rows.shape)} "
+                f"does not match this grid ({n_cells} cells)")
     # A distances-free shell for the prepass helpers (_clip_to_grid, the
     # clamp wrapper): capturing the real sharded distances leaf inside the
     # shard_map body would smuggle the FULL grid into every device.
@@ -960,7 +996,7 @@ def sharded_render_depth_grid_sharded(
     args = {"dist": sdf.distances}
     specs = {"dist": P(*in_spec)}
     if corner_rows is not None:
-        args["rows"], specs["rows"] = corner_rows, P(axis_name)
+        args["rows"], specs["rows"] = corner_rows.rows, P(axis_name)
 
     def fn_dict(a):
         return local_render(a["dist"], local_rows=a.get("rows"))
