@@ -627,11 +627,109 @@ def test_with_stats_is_bitwise_free_and_counts_rows(sphere_sdf,
     stats = jax.tree.map(np.asarray, stats)
     rows = render.gather_rows_from_stats(stats)
     n_rays = 48 * 32
-    assert rows > n_rays  # final sample alone is one row per ray
-    assert stats["final_sample_rows"] == n_rays
+    assert rows > 0
+    # Sparse final sample (round-5): only chunks containing an in-grid
+    # non-converged (needy) ray issue gathers, so the count is a multiple
+    # of the chunk width, positive (certificate-retired blocks are needy
+    # by construction on this scene), and never exceeds the dense count.
+    assert 0 < stats["final_sample_rows"] <= n_rays
+    assert stats["final_sort_blocks"] > 0
     cone = stats["cone_stages"][0]
     assert int(cone["head_iters"]) > 0  # the prepass actually marched
     assert (stats["fine_tail_iters"] >= 0).all()
     # The 8-gather (no corner table) march costs 8 rows per sample.
     rows8 = render.gather_rows_from_stats(stats, gathers_per_sample=8.0)
     assert rows8 > rows
+
+
+def test_sparse_final_sample_matches_dense_resample(sphere_sdf,
+                                                    corner_table):
+    """The block-tail schedule's SPARSE final sample (round-5) must be
+    output-equivalent to densely re-sampling the field at the returned
+    final positions: converged rays reuse the march's carried sample
+    (same expression, same position), escaped rays are proven
+    out-of-grid by the gather-free validity predicate, and only needy
+    blocks issue real gathers. Covers head_steps=0 and >0 (carry
+    threading), with and without the corner table, wide camera so some
+    rays miss the grid entirely."""
+    sizes = np.asarray(sphere_sdf.spec.grid_sizes)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = sizes / 2.0 - np.array([0.0, 0.0, 1.5 * sizes[2]])
+    cam = render.PinholeCamera.create(pose, 64, 48, focal=24.0)
+    for head, ct in ((0, corner_table), (4, corner_table), (0, None)):
+        res, st = render.render_depth(
+            sphere_sdf, cam, num_steps=48, corner_table=ct,
+            early_exit=True, coarse_factor=8, head_steps=head,
+            tail_chunks=8, cone_steps=24, cone_tail_chunks=4,
+            with_stats=True)
+        if ct is not None:
+            q = sdf_query.estimate_location_distance_fast(
+                sphere_sdf, ct, res.points)
+        else:
+            q = sdf_query.estimate_location_distance(sphere_sdf, res.points)
+        dense = np.where(np.asarray(q.valid), np.asarray(q.value), np.inf)
+        got = np.asarray(res.distance)
+        both_inf = np.isinf(dense) & np.isinf(got)
+        np.testing.assert_allclose(np.where(both_inf, 0.0, got),
+                                   np.where(both_inf, 0.0, dense),
+                                   rtol=1e-5, atol=1e-6)
+        # The sparse counter never exceeds the dense count and the audit
+        # accounts its permutes. head_steps > 0 has no cone-slowness sort
+        # key, so the block-tail (and with it the sparse final) does not
+        # engage — that config pins the dense fallback instead.
+        n_rays = 64 * 48
+        assert 0 <= float(st["final_sample_rows"]) <= n_rays
+        if head == 0:
+            assert st["final_sort_blocks"] > 0
+            assert float(st["final_sample_rows"]) < n_rays
+        assert render.gather_rows_from_stats(
+            jax.tree.map(np.asarray, st)) > 0
+
+
+def test_relax_overrelaxation_contract(sphere_sdf, corner_table):
+    """Over-relaxed sphere tracing (``relax`` > 1, Keinert-style revert on
+    overshoot) preserves the march contract on a grazer-free fixture:
+    identical hit sets, common depths within the convergence band, for
+    both the plain early-exit march and the full block-tail schedule.
+    (On the 512^3 bench scenes it is a measured no-win — BASELINE.md
+    round-5 relax sweep — so it stays opt-in; this test pins that the
+    knob is SOUND, not that it is fast.)"""
+    cam = _camera(sphere_sdf)
+    thresh = 0.25 * sphere_sdf.resolution
+
+    def check(base, rx, om):
+        # Hit divergence is allowed ONLY in the tangent-grazer band
+        # (sampling ~om x sparser in a sub-threshold dip widens the
+        # detection band by that factor — sphere_trace docstring); every
+        # other pixel must classify identically, and common hits agree
+        # within the convergence band.
+        bh, rh = np.asarray(base.hit), np.asarray(rx.hit)
+        if (bh != rh).any():
+            band = om * 0.2 * sphere_sdf.resolution
+            dist = np.where(bh, np.asarray(base.distance),
+                            np.asarray(rx.distance))
+            bad = (bh != rh) & ~(np.abs(dist - thresh) <= band)
+            assert not bad.any(), int(bad.sum())
+        m = bh & rh
+        dd = np.abs(np.asarray(base.depth)[m] - np.asarray(rx.depth)[m])
+        assert float(dd.max()) <= 2 * thresh + 1e-6
+
+    kw = dict(num_steps=64, corner_table=corner_table, early_exit=True)
+    base = render.render_depth(sphere_sdf, cam, **kw)
+    for om in (1.3, 1.9):
+        check(base, render.render_depth(sphere_sdf, cam, relax=om, **kw),
+              om)
+    # Full schedule (cone prepass + block tail + sparse final).
+    sched = dict(num_steps=64, corner_table=corner_table, early_exit=True,
+                 coarse_factor=8, head_steps=0, tail_chunks=8,
+                 cone_steps=32, cone_tail_chunks=4)
+    base2 = render.render_depth(sphere_sdf, _camera(sphere_sdf, 64, 48),
+                                **sched)
+    rx2 = render.render_depth(sphere_sdf, _camera(sphere_sdf, 64, 48),
+                              relax=1.6, **sched)
+    check(base2, rx2, 1.6)
+    with pytest.raises(ValueError, match="relax"):
+        render.render_depth(sphere_sdf, cam, relax=0.5, **kw)
+    with pytest.raises(ValueError, match="early_exit"):
+        render.render_depth(sphere_sdf, cam, num_steps=64,
+                            corner_table=corner_table, relax=1.5)

@@ -36,9 +36,9 @@ _UNROLL = 16
 
 
 def _launch_envelope(kernel, f: Array, tile_lines: int, tile_q,
-                     interpret: bool) -> Array:
-    """Shared pad/transpose/pallas_call/slice plumbing for the three
-    envelope kernels (one definition so padding fixes cannot diverge).
+                     interpret: bool, with_cmin: bool = False) -> Array:
+    """Shared pad/transpose/pallas_call/slice plumbing for the envelope
+    kernels (one definition so padding fixes cannot diverge).
 
     Padding values are load-bearing: the POSITION axis pads with ``+inf``
     (an inf candidate never wins a min), but the LINE axis pads with
@@ -49,7 +49,12 @@ def _launch_envelope(kernel, f: Array, tile_lines: int, tile_q,
     immediately, are exact for their (discarded) outputs, and at worst
     loosen the best-first value bound in the single tile that contains
     them. ``tile_q=None`` selects the full-sweep layout (1-D grid, whole
-    lines per program)."""
+    lines per program). ``with_cmin=True`` additionally feeds the kernel
+    the per-(chunk, line-block) minima ``min f[chunk, block]`` as a second
+    input, computed ONCE here in XLA — the in-kernel computation re-reads
+    the whole ``[padded_n, tile_lines]`` block in every q-tile program
+    (``padded_n / tile_q`` redundant passes, ~13% of the round-5 audited
+    per-element budget at 512^3; BASELINE.md EDT roofline accounting)."""
     f = jnp.asarray(f, jnp.float32)
     shape = f.shape
     n = shape[-1]
@@ -79,12 +84,26 @@ def _launch_envelope(kernel, f: Array, tile_lines: int, tile_q,
         out_spec = pl.BlockSpec((tile_q, tile_lines), lambda i, j: (j, i),
                                 memory_space=pltpu.VMEM)
 
+    operands = [ft]
+    in_specs = [in_spec]
+    if with_cmin:
+        n_ch = padded_n // _UNROLL
+        lb = padded_lines // tile_lines
+        cmin = jnp.min(
+            ft.reshape(n_ch, _UNROLL, lb, tile_lines), axis=(1, 3))  # [n_ch, lb]
+        # Whole [lb, n_ch] array per program (a few KB; Mosaic rejects a
+        # (1, n_ch) block — sublane block size must be 8-divisible or the
+        # full dim). The kernel slices its line-block row dynamically.
+        operands.append(cmin.T)  # [lb, n_ch]: line blocks on sublanes
+        in_specs.append(pl.BlockSpec((lb, n_ch), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
     out = pl.pallas_call(
-        kernel, grid=grid, in_specs=[in_spec], out_specs=out_spec,
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((padded_n, padded_lines),
                                        jnp.float32, vma=jax.typeof(ft).vma),
         interpret=interpret,
-    )(ft)
+    )(*operands)
     return out[:n, :lines].T.reshape(shape)
 
 
@@ -279,14 +298,69 @@ def _bestfirst_kernel(ft_ref, out_ref):
     out_ref[:, :] = d
 
 
+def _bestfirst_cmin_kernel(ft_ref, cmin_ref, out_ref):
+    """:func:`_bestfirst_kernel` with the per-chunk minima HOISTED: the
+    launcher computes ``min f[chunk, block]`` once in XLA and feeds it as
+    a second input, instead of every q-tile program re-reading the whole
+    ``[padded_n, tile_lines]`` block to reduce it (``padded_n / tile_q``
+    redundant passes — ~13% of the audited per-element budget at 512^3).
+    Chunk-visit order and results are identical."""
+    n = ft_ref.shape[0]
+    tq = out_ref.shape[0]
+    j = pl.program_id(1)
+    q0 = j * tq
+    q = (q0 + lax.broadcasted_iota(jnp.int32, (tq, 1), 0)).astype(jnp.float32)
+    ch = _UNROLL
+    n_ch = n // ch
+
+    cmin = cmin_ref[pl.ds(pl.program_id(0), 1), :]  # [1, n_ch]
+
+    c_idx = lax.broadcasted_iota(jnp.int32, (1, n_ch), 1)
+    gap_lo = q0 - (c_idx * ch + ch - 1)
+    gap_hi = c_idx * ch - (q0 + tq - 1)
+    geom = jnp.maximum(jnp.maximum(gap_lo, gap_hi), 0).astype(jnp.float32)
+    bounds = geom * geom + cmin
+
+    def proc_chunk(c, d):
+        base = c * ch
+        fk = ft_ref[pl.ds(base, ch), :]
+        basef = base.astype(jnp.float32)
+        for u in range(ch):
+            delta = q - (basef + u)
+            d = jnp.minimum(d, delta * delta + fk[u:u + 1, :])
+        return d
+
+    def cond(state):
+        d, b = state
+        return jnp.min(b) < jnp.max(d)
+
+    def body(state):
+        d, b = state
+        c_star = jnp.argmin(b[0]).astype(jnp.int32)
+        d = proc_chunk(c_star, d)
+        b = jnp.where(c_idx == c_star, jnp.inf, b)
+        return d, b
+
+    d0 = jnp.full(out_ref.shape, jnp.inf, dtype=jnp.float32)
+    d, _ = lax.while_loop(cond, body, (d0, bounds))
+    out_ref[:, :] = d
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("tile_lines", "tile_q", "interpret"))
+                   static_argnames=("tile_lines", "tile_q", "interpret",
+                                    "hoist_cmin"))
 def parabolic_envelope_last_pallas_bestfirst(
         f: Array, tile_lines: int = 1024, tile_q: int = 32,
-        interpret: bool = False) -> Array:
+        interpret: bool = False, hoist_cmin: bool = True) -> Array:
     """Exact 1-D squared-distance transform, best-first chunk order (see
     :func:`_bestfirst_kernel`). Sign-safe for ANY ``f``: the per-chunk
     bound ``geom^2 + min f[chunk]`` lower-bounds every candidate including
-    negative values (unlike the windowed kernel's geometric-only bound)."""
+    negative values (unlike the windowed kernel's geometric-only bound).
+    ``hoist_cmin`` selects the variant whose per-chunk bound minima are
+    precomputed once in XLA (identical results; measured faster — the
+    in-kernel reduction re-runs per q-tile, BASELINE.md round-5)."""
+    if hoist_cmin:
+        return _launch_envelope(_bestfirst_cmin_kernel, f, tile_lines,
+                                tile_q, interpret, with_cmin=True)
     return _launch_envelope(_bestfirst_kernel, f, tile_lines, tile_q,
                             interpret)

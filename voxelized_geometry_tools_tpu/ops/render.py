@@ -179,6 +179,7 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                  sort_key: Optional[Array] = None,
                  certified_miss: Optional[Array] = None,
                  sort_block: int = 1,
+                 relax: float = 1.0,
                  remat: bool = False,
                  with_stats: bool = False):
     """Sphere-trace rays through an SDF grid.
@@ -244,6 +245,26 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
       the gather engine services at near row rate instead of per scalar.
       The caller must lay rays out so blocks are contiguous
       (:func:`render_depth` does this for cone blocks).
+    * ``relax`` (early_exit mode only): over-relaxed sphere tracing
+      (Keinert et al. 2014, "Enhanced Sphere Tracing"). Steps advance by
+      ``relax * d`` instead of ``d``; a step is kept only if the next
+      sample satisfies ``step <= d_prev + d_new`` (the two step spheres
+      overlap), otherwise the march REVERTS to the classic step from the
+      previous sample — for a field with the distance property
+      ``|f(x)| <= dist(x, surface)`` a zero crossing inside the stepped
+      segment forces ``d_new <= step - d_prev``, so no crossing is ever
+      stepped over un-reverted, and reverted re-steps are classic (never
+      themselves reverted, so an interpolation artifact cannot revert-
+      loop). Cost: one discarded sample per revert; gain: eps-floor
+      silhouette crawlers advance ``relax`` x farther per sample. Hits
+      may differ from the plain march ONLY in the tangent-grazer class
+      above (samples land ``~relax`` x sparser in a sub-threshold dip,
+      so the detection band widens by that factor); converged depths
+      still agree within the convergence threshold because convergence
+      is only ever declared on un-reverted samples. ``1.0`` (default)
+      compiles the classic march bit-identically; useful range is
+      1.2-1.9 (``relax >= 2`` would make even an exact-field classic
+      re-step trigger the overlap test at equality). Inference-only.
     * ``with_stats``: also return a dict of per-phase WORK COUNTERS —
       the while-loop iteration counts each phase actually executed
       (``fine_head_iters`` scalar, ``fine_tail_iters [tail_chunks]``) and
@@ -259,6 +280,16 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     """
     if surface_threshold is None:
         surface_threshold = 0.25 * sdf.resolution
+    relax = float(relax)
+    if relax < 1.0:
+        # Under-relaxation is spelled step_scale (< 1) — a silent overlap
+        # of the two knobs would double-apply the scaling.
+        raise ValueError(f"relax={relax} must be >= 1.0 "
+                         "(use step_scale for under-relaxation)")
+    if relax > 1.0 and not early_exit:
+        raise ValueError("relax > 1 requires early_exit=True (the revert "
+                         "logic lives in the while-loop march; the "
+                         "differentiable scan path stays classic)")
     thresh = jnp.float32(surface_threshold)
     eps = jnp.float32(1e-3 * sdf.resolution)
 
@@ -266,9 +297,16 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
         def sample(pos):
             return sdf_query.estimate_location_distance_fast(
                 sdf, corner_table, pos)
+
+        def sample_valid(pos):
+            return sdf_query.location_query_valid(
+                sdf, pos, corner_table.rows.dtype)
     else:
         def sample(pos):
             return sdf_query.estimate_location_distance(sdf, pos)
+
+        def sample_valid(pos):
+            return sdf_query.location_query_valid(sdf, pos)
 
     t_enter, t_exit, hits_grid = _clip_to_grid(sdf, origins, dirs)
     t0 = jnp.where(hits_grid, t_enter + eps, jnp.float32(max_depth))
@@ -350,13 +388,20 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
         advance = jnp.maximum(d * step_scale, eps)
         new_t = jnp.where(alive & ~converged, t + advance, t)
         new_alive = alive & ~converged & (new_t < stop)
-        return new_t, new_alive, d
+        return new_t, new_alive, d, converged
 
     def advance_once(t, alive):
-        new_t, new_alive, _ = advance_ray(t, alive, origins, dirs, t_stop)
+        new_t, new_alive, _, _ = advance_ray(t, alive, origins, dirs, t_stop)
         return new_t, new_alive
 
-    def march_while(t_init, alive_init, o, d_ray, stop, budget):
+    def march_while(t_init, alive_init, o, d_ray, stop, budget,
+                    d_cur0=None, conv0=None):
+        # ``conv`` marks rays that CONVERGED (as opposed to escaping or
+        # exhausting the budget): for those, ``t`` stopped AT the last
+        # sampled position, so the carried ``d_cur`` IS the field value at
+        # the final point — the sparse final sample below reuses it
+        # instead of re-gathering. ``d_cur0``/``conv0`` thread a previous
+        # phase's carry through (head -> sorted tail).
         big = jnp.float32(1e30)
 
         def cond(carry):
@@ -365,28 +410,90 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             return (i < budget) & jnp.any(alive)
 
         def body(carry):
-            i, t, alive, d_prev, d_cur = carry
-            new_t, new_alive, d = advance_ray(t, alive, o, d_ray, stop)
+            i, t, alive, d_prev, d_cur, conv = carry
+            new_t, new_alive, d, converged = advance_ray(
+                t, alive, o, d_ray, stop)
             d_prev = jnp.where(alive, d_cur, d_prev)
             d_cur = jnp.where(alive, d, d_cur)
-            return i + 1, new_t, new_alive, d_prev, d_cur
+            conv = conv | (alive & converged)
+            return i + 1, new_t, new_alive, d_prev, d_cur, conv
 
-        # Derive the initial carry from the input so its varying manual
-        # axes match the body outputs under shard_map.
+        def body_relaxed(carry):
+            # Over-relaxed variant (``relax`` > 1, see the docstring): the
+            # carry additionally tracks the advance just taken and whether
+            # it was a relaxed (unverified) one. Only relaxed steps are
+            # ever reverted; revert re-steps are classic, so a field-
+            # artifact negative sample cannot revert-loop. All extra work
+            # is VPU ops on the existing loop carry — the gather count per
+            # iteration is unchanged (one sample row per lane).
+            i, t, alive, d_prev, d_cur, conv, last_adv, was_relaxed = carry
+            pos = o + d_ray * t[..., None]
+            q = sample(pos)
+            # Overshoot test value: an OUT-OF-GRID sample proves nothing
+            # about the skipped segment, so it must test as 0 (always
+            # revert an unverified step that ran off the grid), not as the
+            # nudge value ``thresh`` the march otherwise substitutes.
+            d_test = jnp.where(q.valid, q.value, 0.0)
+            overshoot = alive & was_relaxed & (last_adv > d_cur + d_test)
+            d = jnp.where(q.valid, q.value, thresh)
+            converged = q.valid & (d <= thresh) & ~overshoot
+            classic = jnp.maximum(d * step_scale, eps)
+            classic_prev = jnp.maximum(d_cur * step_scale, eps)
+            # Relax only TANGENTIAL rays — those whose sampled distance is
+            # decaying at less than half the march rate (silhouette
+            # crawlers; the nearest surface point is moving with them). A
+            # head-on ray has d decaying at ~the full step size, so every
+            # relaxed step would fail the overlap test and be reverted —
+            # measured on the bench sphere, uniformly relaxing INCREASED
+            # frame rows 6-19% (BASELINE.md round-5 relax sweep).
+            tangential = (d_cur - d) < jnp.float32(0.5) * last_adv
+            adv = jnp.where(tangential,
+                            jnp.maximum(d * step_scale * jnp.float32(relax),
+                                        eps),
+                            classic)
+            new_t = jnp.where(
+                overshoot, t - last_adv + classic_prev,
+                jnp.where(alive & ~converged, t + adv, t))
+            new_adv = jnp.where(overshoot, classic_prev, adv)
+            new_relaxed = tangential & ~overshoot
+            # Exit is decided by the CLASSIC step's guarantee (no crossing
+            # within [t, t + d)): a relaxed step that lands past ``stop``
+            # has NOT proven the segment empty, so the ray stays alive and
+            # the out-of-grid sample above reverts it next iteration.
+            escaped = ~overshoot & (t + classic >= stop)
+            new_alive = alive & ~converged & ~escaped
+            d_prev = jnp.where(alive & ~overshoot, d_cur, d_prev)
+            d_cur = jnp.where(alive & ~overshoot, d, d_cur)
+            conv = conv | (alive & converged)
+            return (i + 1, new_t, new_alive, d_prev, d_cur, conv,
+                    new_adv, new_relaxed)
+
+        # Derive the initial carries from the inputs so their varying
+        # manual axes match the body outputs under shard_map.
         d0 = t_init * 0.0 + big
-        iters, t_out, alive_out, d_prev, d_cur = lax.while_loop(
-            cond, body, (jnp.int32(0), t_init, alive_init, d0, d0))
-        return t_out, alive_out, d_prev, d_cur, iters
+        dc0 = d0 if d_cur0 is None else d_cur0
+        cv0 = (alive_init ^ alive_init) if conv0 is None else conv0
+        if relax > 1.0:
+            (iters, t_out, alive_out, d_prev, d_cur, conv_out, _,
+             _) = lax.while_loop(
+                cond, body_relaxed,
+                (jnp.int32(0), t_init, alive_init, d0, dc0, cv0, d0 * 0.0,
+                 alive_init ^ alive_init))
+            return t_out, alive_out, d_prev, d_cur, conv_out, iters
+        iters, t_out, alive_out, d_prev, d_cur, conv_out = lax.while_loop(
+            cond, body, (jnp.int32(0), t_init, alive_init, d0, dc0, cv0))
+        return t_out, alive_out, d_prev, d_cur, conv_out, iters
 
     alive0 = hits_grid if mip is None else (hits_grid & (t0 < t_stop))
     if killed is not None:
         alive0 = alive0 & ~killed
     stats = {}
+    d_carried = sparse_block = None  # set by the block-sorted tail
     if early_exit:
         head = min(int(head_steps), num_steps) if tail_chunks > 1 \
             else num_steps
         if head > 0:
-            t_final, alive, d_prev, d_cur, head_iters = march_while(
+            t_final, alive, d_prev, d_cur, conv, head_iters = march_while(
                 t0, alive0, origins, dirs, t_stop, head)
             stats["fine_head_iters"] = head_iters
         else:
@@ -396,6 +503,7 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             # cluster slow rays by.
             t_final, alive = t0, alive0
             d_prev = d_cur = None
+            conv = jnp.zeros_like(alive0)
             stats["fine_head_iters"] = jnp.int32(0)
         stats["fine_head_width"] = int(np.prod(t_final.shape)) \
             if t_final.shape else 1
@@ -462,36 +570,58 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
                 jnp.broadcast_to(dirs, batch_shape + (3,)), 0.0))
             stop_s = permute(flat_pad(
                 jnp.broadcast_to(t_stop, batch_shape), 0.0))
+            big = jnp.float32(1e30)
+            # Thread the head phase's last-sample carry into the tail so
+            # the final merged (d_cur, conv) cover BOTH phases; with
+            # head_steps=0 these are constants (no permute rows).
+            dc0_s = (permute(flat_pad(d_cur, big)) if d_cur is not None
+                     else t_s * 0.0 + big)
+            cv0_s = (permute(flat_pad(conv, False)) if d_cur is not None
+                     else alive_s ^ alive_s)
 
             def march_chunk(args):
-                t_c, alive_c, o_c, d_c, stop_c = args
-                t_out, _, _, _, i_out = march_while(
-                    t_c, alive_c, o_c, d_c, stop_c, remaining)
-                return t_out, i_out
+                t_c, alive_c, o_c, d_c, stop_c, dc_c, cv_c = args
+                t_out, _, _, d_last, conv_o, i_out = march_while(
+                    t_c, alive_c, o_c, d_c, stop_c, remaining,
+                    d_cur0=dc_c, conv0=cv_c)
+                return (t_out, d_last, conv_o), i_out
 
             # lax.map compiles the chunk body once and runs chunks
             # sequentially — all-dead chunks cost a single alive check.
-            t_sorted, tail_iters = lax.map(march_chunk, (
-                t_s.reshape(k, chunk), alive_s.reshape(k, chunk),
-                o_s.reshape(k, chunk, 3), d_s.reshape(k, chunk, 3),
-                stop_s.reshape(k, chunk)))
-            t_sorted = t_sorted.reshape(-1)
+            (t_sorted, dl_sorted, cv_sorted), tail_iters = lax.map(
+                march_chunk, (
+                    t_s.reshape(k, chunk), alive_s.reshape(k, chunk),
+                    o_s.reshape(k, chunk, 3), d_s.reshape(k, chunk, 3),
+                    stop_s.reshape(k, chunk), dc0_s.reshape(k, chunk),
+                    cv0_s.reshape(k, chunk)))
             stats["fine_tail_iters"] = tail_iters          # i32 [k]
             stats["fine_tail_chunk_width"] = chunk
             # Rows the compaction permute moves PER ARRAY: whole
             # sort-blocks when bs > 1, scalar rows otherwise.
             stats["fine_sort_blocks"] = (nb + pad_b) if bs > 1 else (n + pad)
-            # 5 permute gathers in + 1 scatter back (t, alive, o, d, stop
-            # in; t out) — all at sort-block row granularity.
-            stats["fine_sort_arrays"] = 6
+            # Permute gathers in (t, alive, o, d, stop; +dc0/cv0 when a
+            # head phase ran) + scatters back (t; +d_last/conv when the
+            # sparse final sample below consumes them) — all at sort-block
+            # row granularity.
+            sparse_final = bs > 1
+            stats["fine_sort_arrays"] = (5 + (2 if d_cur is not None else 0)
+                                         + (3 if sparse_final else 1))
+
             if bs > 1:
-                t_final = jnp.zeros(
-                    (nb + pad_b, bs), t_final.dtype).at[order_b].set(
-                        t_sorted.reshape(nb + pad_b, bs)).reshape(-1)[
-                            :n].reshape(batch_shape)
+                def unsort_tail(xs, dtype):
+                    return jnp.zeros(
+                        (nb + pad_b, bs), dtype).at[order_b].set(
+                            xs.reshape(nb + pad_b, bs)).reshape(-1)[:n]
             else:
-                t_final = jnp.zeros(n + pad, t_final.dtype).at[order].set(
-                    t_sorted)[:n].reshape(batch_shape)
+                def unsort_tail(xs, dtype):
+                    return jnp.zeros(
+                        n + pad, dtype).at[order].set(xs.reshape(-1))[:n]
+            t_final = unsort_tail(t_sorted, t_final.dtype).reshape(
+                batch_shape)
+            if sparse_final:
+                d_carried = unsort_tail(dl_sorted, dl_sorted.dtype)
+                conv = unsort_tail(cv_sorted, jnp.bool_).reshape(batch_shape)
+                sparse_block = (bs, k)
     else:
         def step(carry, _):
             t, alive = carry
@@ -511,9 +641,74 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
             if t_final.shape else 1
 
     points = origins + dirs * t_final[..., None]
-    q = sample(points)
-    final_d = jnp.where(q.valid, q.value, jnp.inf)
-    hit = hits_grid & q.valid & (final_d <= thresh * 2.0)
+    if d_carried is not None:
+        # Sparse final sample (block-tail schedules): most rays' final
+        # value is already known without a gather —
+        #   * CONVERGED rays stopped AT their last sampled position, so
+        #     the march's carried sample IS the final value (bitwise the
+        #     same expression on the same position);
+        #   * rays whose final position left the grid (march escapes,
+        #     grid-missers) provably read ``(inf, False)`` — validity is
+        #     pure VPU math (:func:`sdf_query.location_query_valid`).
+        # Real gathers remain only for in-grid non-converged rays:
+        # certificate-retired blocks (never marched) and budget-capped
+        # crawlers. Those are compacted needs-first at CONE-BLOCK
+        # granularity (certificates are per-block, so need is block-
+        # coherent) and sampled in chunks that skip when need-free —
+        # outputs are unchanged, the dense per-ray final gather
+        # (10-43% of frame rows depending on scene) shrinks to the needy
+        # fraction. Inference-only like the rest of the early-exit path.
+        bs_f, k_f = sparse_block
+        n_f = int(np.prod(batch_shape))
+        valid = sample_valid(points)
+        conv_f = conv.reshape(-1)
+        valid_f = valid.reshape(-1)
+        needs = valid_f & ~conv_f
+        nb2 = n_f // bs_f
+        k2 = min(k_f, nb2)
+        pad2 = (-nb2) % k2
+        block_needs = jnp.pad(needs.reshape(nb2, bs_f).any(axis=1),
+                              (0, pad2), constant_values=False)
+        order2 = jnp.argsort(~block_needs, stable=True)  # needy first
+        pts_sorted = jnp.pad(
+            points.reshape(nb2, bs_f, 3),
+            ((0, pad2), (0, 0), (0, 0)))[order2]
+        bpc = (nb2 + pad2) // k2
+        chunk_go = block_needs[order2].reshape(k2, bpc).any(axis=1)
+        vdt = (corner_table.rows.dtype if corner_table is not None
+               else jnp.asarray(sdf.distances).dtype)
+
+        def sample_chunk(args):
+            pts_c, go = args
+
+            def do(_):
+                qc = sample(pts_c.reshape(-1, 3))
+                return jnp.where(qc.valid, qc.value,
+                                 jnp.array(jnp.inf, vdt))
+
+            def skip(_):
+                return jnp.full(bpc * bs_f, jnp.inf, vdt)
+
+            return lax.cond(go, do, skip, None), go.astype(jnp.int32)
+
+        vals_sorted, executed = lax.map(sample_chunk,
+                                        (pts_sorted.reshape(k2, bpc, bs_f, 3),
+                                         chunk_go))
+        gathered = jnp.zeros((nb2 + pad2, bs_f), vdt).at[order2].set(
+            vals_sorted.reshape(nb2 + pad2, bs_f)).reshape(-1)[:n_f]
+        final_d = jnp.where(
+            conv_f, d_carried.astype(vdt),
+            jnp.where(valid_f, gathered,
+                      jnp.array(jnp.inf, vdt))).reshape(batch_shape)
+        hit = hits_grid & valid & (final_d <= thresh * 2.0)
+        if with_stats:
+            stats["final_sample_rows"] = jnp.sum(executed) * (bpc * bs_f)
+            stats["final_sort_blocks"] = nb2 + pad2
+            stats["final_sort_arrays"] = 2  # points permute + value scatter
+    else:
+        q = sample(points)
+        final_d = jnp.where(q.valid, q.value, jnp.inf)
+        hit = hits_grid & q.valid & (final_d <= thresh * 2.0)
 
     # Newton-style refinement: pull the depth to the zero crossing along the
     # ray using the final sample. Keeps depth differentiable in voxel values
@@ -524,8 +719,9 @@ def sphere_trace(sdf: SignedDistanceField, origins: Array, dirs: Array,
     result = RenderResult(depth=depth, hit=hit, points=points,
                           distance=final_d)
     if with_stats:
-        stats["final_sample_rows"] = int(np.prod(t_final.shape)) \
-            if t_final.shape else 1
+        if "final_sample_rows" not in stats:  # dense path
+            stats["final_sample_rows"] = int(np.prod(t_final.shape)) \
+                if t_final.shape else 1
         return result, stats
     return result
 
@@ -970,7 +1166,9 @@ def gather_rows_from_stats(stats: dict,
         rows += (float(jnp.sum(stats["fine_tail_iters"]))
                  * stats["fine_tail_chunk_width"] * gathers_per_sample)
         rows += stats["fine_sort_blocks"] * stats["fine_sort_arrays"]
-    rows += stats.get("final_sample_rows", 0) * gathers_per_sample
+    rows += float(stats.get("final_sample_rows", 0)) * gathers_per_sample
+    if "final_sort_blocks" in stats:  # sparse final sample's block permutes
+        rows += stats["final_sort_blocks"] * stats["final_sort_arrays"]
     return rows
 
 

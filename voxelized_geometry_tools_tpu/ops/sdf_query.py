@@ -169,6 +169,33 @@ def estimate_index_distance(sdf: SignedDistanceField,
                                       sdf.grid_index_to_location(index))
 
 
+def location_query_valid(sdf: SignedDistanceField, p_world: Array,
+                         table_dtype=None) -> Array:
+    """The ``valid`` field of a location query WITHOUT issuing the value
+    gather. With ``table_dtype`` (pass ``table.rows.dtype``) this replays
+    the exact op sequence of :func:`estimate_location_distance_fast`'s
+    predicate; with ``None``, :func:`estimate_location_distance`'s. Both
+    are pure VPU math (transform + floor + bounds check), so callers that
+    only need validity — e.g. the render final-sample skip, where every
+    out-of-grid ray's answer is known to be ``(NaN, False)`` — avoid
+    paying gather rows for it. Kept bit-identical to the sample functions
+    by construction (same expressions, same dtypes); pinned by
+    tests/test_fast_render.py."""
+    if table_dtype is not None:
+        dt = jnp.dtype(table_dtype)
+        p = jnp.asarray(p_world)[..., :3].astype(dt)
+        p_grid = transforms.apply_isometry(
+            sdf.inverse_origin_transform().astype(dt), p)
+        finite = jnp.all(jnp.isfinite(p), axis=-1)
+        index = sdf.spec.location_in_grid_frame_to_grid_index(
+            jnp.where(finite[..., None], p_grid, 0.0))
+        return finite & sdf.spec.check_grid_index_in_bounds(index)
+    p = jnp.asarray(p_world)[..., :3]
+    index = sdf.location_to_grid_index(p)
+    finite = jnp.all(jnp.isfinite(p), axis=-1)
+    return finite & sdf.spec.check_grid_index_in_bounds(index)
+
+
 # -- Corner-brick acceleration table ----------------------------------------
 #
 # TPU gathers are issue-bound (~26 ns per gathered row on v5e, independent of
